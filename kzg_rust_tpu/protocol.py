@@ -1,0 +1,190 @@
+"""The EIP-4844 protocol layer, backend-agnostic.
+
+Mirrors reference: src/kzg.rs:282-693 - blob->polynomial conversion,
+Fiat-Shamir challenges, barycentric evaluation dispatch, quotient/proof
+construction, single + blob + batch verification. All heavy math is routed
+through a backend (golden or jax); everything here is validation, hashing,
+special-case handling, and byte plumbing - bit-exact to the reference.
+"""
+
+from __future__ import annotations
+
+from .errors import BadArgs
+from .golden import curve
+from .settings import KzgSettings
+from .types import Blob, Bytes32, Bytes48, KzgCommitment, KzgProof
+from .utils import bls_serde as serde
+
+
+def blob_to_polynomial(settings: KzgSettings, blob: bytes) -> list[int]:
+    """Split the blob into 32-byte BE chunks, each validated < r
+    (reference: kzg.rs:282-291)."""
+    n = settings.preset.field_elements_per_blob
+    evals = []
+    for i in range(n):
+        chunk = blob[i * 32 : (i + 1) * 32]
+        evals.append(serde.bytes_to_bls_field(chunk))
+    return evals
+
+
+def evaluate_polynomial_in_evaluation_form(
+    settings: KzgSettings, evals: list[int], x: int, backend
+) -> int:
+    """Barycentric evaluation with the in-domain short-circuit
+    (reference: kzg.rs:346-389)."""
+    roots = settings.roots_of_unity
+    for i in range(settings.preset.field_elements_per_blob):
+        if x == roots[i]:
+            return evals[i]
+    return backend.barycentric_eval(settings, evals, x)
+
+
+def blob_to_kzg_commitment(settings: KzgSettings, blob: bytes, backend) -> KzgCommitment:
+    """reference: kzg.rs:396-406."""
+    evals = blob_to_polynomial(settings, blob)
+    commitment = backend.msm_g1_lagrange(settings, evals)
+    return KzgCommitment(serde.bytes_from_g1(commitment))
+
+
+def compute_kzg_proof_impl(
+    settings: KzgSettings, evals: list[int], z: int, backend
+) -> tuple[KzgProof, int]:
+    """Quotient polynomial + MSM (reference: kzg.rs:461-528)."""
+    y = evaluate_polynomial_in_evaluation_form(settings, evals, z, backend)
+    roots = settings.roots_of_unity
+    m = None
+    for i in range(settings.preset.field_elements_per_blob):
+        if z == roots[i]:
+            m = i
+            break
+    if m is None:
+        q = backend.quotient_out_of_domain(settings, evals, z, y)
+    else:
+        q = backend.quotient_in_domain(settings, evals, z, y, m)
+    out_g1 = backend.msm_g1_lagrange(settings, q)
+    return KzgProof(serde.bytes_from_g1(out_g1)), y
+
+
+def compute_kzg_proof(
+    settings: KzgSettings, blob: bytes, z_bytes: bytes, backend
+) -> tuple[KzgProof, Bytes32]:
+    """reference: kzg.rs:446-457. Returns (proof, y)."""
+    evals = blob_to_polynomial(settings, blob)
+    z = serde.bytes_to_bls_field(z_bytes)
+    proof, y = compute_kzg_proof_impl(settings, evals, z, backend)
+    return proof, serde.bytes_from_bls_field(y)
+
+
+def compute_blob_kzg_proof(
+    settings: KzgSettings, blob: bytes, commitment_bytes: bytes, backend
+) -> KzgProof:
+    """reference: kzg.rs:533-544."""
+    # compute_challenge validates the commitment before hashing.
+    challenge = serde.compute_challenge(settings.preset, blob, commitment_bytes)
+    evals = blob_to_polynomial(settings, blob)
+    proof, _y = compute_kzg_proof_impl(settings, evals, challenge, backend)
+    return proof
+
+
+def verify_kzg_proof_impl(
+    settings: KzgSettings, commitment, z: int, y: int, proof, backend
+) -> bool:
+    """e(C - [y]G1, G2) == e(proof, [s - z]G2) (reference: kzg.rs:409-426)."""
+    x_g2 = backend.g2_mul(curve.G2_GENERATOR, z)
+    x_minus_z = backend.g2_sub(settings.g2_values[1], x_g2)
+    y_g1 = backend.g1_mul(curve.G1_GENERATOR, y)
+    p_minus_y = backend.g1_sub(commitment, y_g1)
+    return backend.pairings_verify(p_minus_y, curve.G2_GENERATOR, proof, x_minus_z)
+
+
+def verify_kzg_proof(
+    settings: KzgSettings,
+    commitment_bytes: bytes,
+    z_bytes: bytes,
+    y_bytes: bytes,
+    proof_bytes: bytes,
+    backend,
+) -> bool:
+    """reference: kzg.rs:429-443."""
+    commitment = serde.bytes_to_kzg_commitment(commitment_bytes)
+    z = serde.bytes_to_bls_field(z_bytes)
+    y = serde.bytes_to_bls_field(y_bytes)
+    proof = serde.bytes_to_kzg_proof(proof_bytes)
+    return verify_kzg_proof_impl(settings, commitment, z, y, proof, backend)
+
+
+def verify_blob_kzg_proof(
+    settings: KzgSettings, blob: bytes, commitment_bytes: bytes, proof_bytes: bytes, backend
+) -> bool:
+    """reference: kzg.rs:547-569."""
+    commitment = serde.bytes_to_kzg_commitment(commitment_bytes)
+    evals = blob_to_polynomial(settings, blob)
+    challenge = serde.compute_challenge(settings.preset, blob, commitment_bytes)
+    y = evaluate_polynomial_in_evaluation_form(settings, evals, challenge, backend)
+    proof = serde.bytes_to_kzg_proof(proof_bytes)
+    return verify_kzg_proof_impl(settings, commitment, challenge, y, proof, backend)
+
+
+def verify_kzg_proof_batch(
+    settings: KzgSettings, commitments, zs, ys, proofs, backend
+) -> bool:
+    """RLC batch check (reference: kzg.rs:579-627):
+    e(sum r^i proof_i, [s]G2) ==
+    e(sum r^i (C_i - [y_i]G1) + sum (r^i z_i) proof_i, G2).
+    Uses naive lincombs by design (reference: utils.rs:349-356)."""
+    n = len(commitments)
+    commitment_bytes = [serde.bytes_from_g1(c) for c in commitments]
+    proof_bytes = [serde.bytes_from_g1(p) for p in proofs]
+    r_powers = serde.compute_r_powers(
+        settings.preset, commitment_bytes, zs, ys, proof_bytes
+    )
+    proof_lincomb = backend.g1_lincomb(proofs, r_powers)
+
+    c_minus_y = []
+    r_times_z = []
+    for i in range(n):
+        y_g1 = backend.g1_mul(curve.G1_GENERATOR, ys[i])
+        c_minus_y.append(backend.g1_sub(commitments[i], y_g1))
+        r_times_z.append((r_powers[i] * zs[i]) % curve.R)
+
+    proof_z_lincomb = backend.g1_lincomb(proofs, r_times_z)
+    c_minus_y_lincomb = backend.g1_lincomb(c_minus_y, r_powers)
+    rhs_g1 = backend.g1_add(c_minus_y_lincomb, proof_z_lincomb)
+
+    return backend.pairings_verify(
+        proof_lincomb, settings.g2_values[1], rhs_g1, curve.G2_GENERATOR
+    )
+
+
+def verify_blob_kzg_proof_batch(
+    settings: KzgSettings,
+    blobs: list[bytes],
+    commitments_bytes: list[bytes],
+    proofs_bytes: list[bytes],
+    backend,
+) -> bool:
+    """reference: kzg.rs:637-693."""
+    if not (len(blobs) == len(commitments_bytes) == len(proofs_bytes)):
+        raise BadArgs("verify_blob_kzg_proof_batch: different lengths")
+    n = len(blobs)
+    if n == 0:
+        return True
+    if n == 1:
+        return verify_blob_kzg_proof(
+            settings, blobs[0], commitments_bytes[0], proofs_bytes[0], backend
+        )
+
+    commitments, zs, ys, proofs = [], [], [], []
+    for i in range(n):
+        commitments.append(serde.bytes_to_kzg_commitment(commitments_bytes[i]))
+        evals = blob_to_polynomial(settings, blobs[i])
+        challenge = serde.compute_challenge(
+            settings.preset, blobs[i], commitments_bytes[i]
+        )
+        zs.append(challenge)
+        ys.append(
+            evaluate_polynomial_in_evaluation_form(settings, evals, challenge, backend)
+        )
+        proofs.append(serde.bytes_to_kzg_proof(proofs_bytes[i]))
+
+    return verify_kzg_proof_batch(settings, commitments, zs, ys, proofs, backend)
