@@ -19,7 +19,13 @@ if not os.environ.get("KZG_TPU_TEST_REAL_DEVICE"):
             flags + " --xla_force_host_platform_device_count=8"
         ).strip()
 
+import jax
 import pytest
+
+# Limb-arithmetic graphs are compile-heavy; persist compiled executables so
+# repeat test runs skip XLA compilation.
+jax.config.update("jax_compilation_cache_dir", os.path.expanduser("~/.cache/jax_kzg"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
 REPO_ROOT = pathlib.Path(__file__).resolve().parent.parent
 VECTOR_DIR = REPO_ROOT / "tests" / "vectors"
