@@ -9,17 +9,21 @@ the blst scalar/field assembly the reference delegates to
 
 Why 12-bit limbs in 32-bit lanes: TPUs have no 64-bit integer multiplier, so
 limb products must fit in 32 bits together with long accumulation chains.
-With ``b = 2^12`` a limb product is < 2^24 and a Montgomery (CIOS) column can
-absorb 2 products per iteration for 32 iterations plus carries while staying
-< 2^31 - comfortably inside a uint32 lane with no per-iteration
-normalization.  Fp needs 32 limbs (384 bits), Fr needs 22 (264 bits); both
-give a Montgomery radix R = b^n strictly greater than the modulus.
+With ``b = 2^12`` a limb product is < 2^24 and a full column of n products
+stays < n * 2^24 < 2^31 - comfortably inside a uint32 lane with NO
+intermediate normalization, which makes the whole multiply column-parallel.
+Fp needs 32 limbs (384 bits), Fr needs 22 (264 bits); both give a Montgomery
+radix R = b^n strictly greater than the modulus.
 
 All values are canonical (< modulus) with limbs in ``[0, 2^12)`` at function
 boundaries; Montgomery-form values are canonical representatives of
-``x * R mod N``.  Carry propagation is an unrolled ripple along the (minor)
-limb axis - sequential in the limb index but full-width across the batch,
-which is exactly the layout the VPU wants.
+``x * R mod N``.  Two structural rules keep the compiled graphs sane:
+
+* Multiplication is column-parallel SOS/REDC (``mont_mul``), not an iterated
+  per-limb CIOS recurrence - a CIOS loop compiles to thousands of sliced HLO
+  ops and defeats both XLA's compile-time and its vectorizer.
+* Carries are resolved in O(log n) wide steps (carry-save passes + a
+  Kogge-Stone carry-lookahead scan), never as an unrolled per-limb ripple.
 """
 
 from __future__ import annotations
@@ -55,6 +59,8 @@ class FieldSpec:
         # -N^-1 mod b, the per-iteration Montgomery quotient multiplier.
         self.n0inv = int((-pow(modulus, -1, BASE)) % BASE)
         r = 1 << (BASE_BITS * nlimbs)
+        # Full-width -N^-1 mod R for the column-parallel REDC quotient.
+        self.nprime_limbs = int_to_limbs(nlimbs, (-pow(modulus, -1, r)) % r)
         self.mont_r = r % modulus
         self.one_mont = int_to_limbs(nlimbs, r % modulus)  # mont(1)
         self.r2 = int_to_limbs(nlimbs, (r * r) % modulus)  # to-mont factor
@@ -127,46 +133,84 @@ def limbs_to_ints(arr) -> list[int]:
 
 # ---------------------------------------------------------------------------
 # Carry machinery (device)
+#
+# Everything here is built from full-width tensor ops - no per-limb Python
+# loops.  Unrolled ripple chains (one sliced op per limb) produce thousands
+# of tiny HLO instructions that make XLA's fusion passes quadratically slow;
+# the shift-based carry-save + Kogge-Stone carry-lookahead below resolves a
+# full carry chain in O(log n) wide ops instead.
 # ---------------------------------------------------------------------------
 
 
-def carry_canonical(cols, nout: int):
-    """Normalize accumulated columns (< 2^31 each) into 12-bit limbs.
+def _shift_up(t, k: int):
+    """Shift limbs toward higher significance by k positions (zero fill)."""
+    return jnp.concatenate([jnp.zeros_like(t[..., :k]), t[..., :-k]], axis=-1)
 
-    Unrolled ripple along the limb axis: sequential in limb index, full
-    vector width across the batch.  ``nout >= cols.shape[-1]`` gives room for
-    the trailing carry.
+
+def csave(t, passes: int = 2):
+    """Carry-save passes: digits < 2^31 -> digits <= 2^12 + 127 after two
+    passes (each pass folds ``digit >> 12`` into the next limb; overflow out
+    of the top limb is dropped, so callers must know the value fits)."""
+    for _ in range(passes):
+        t = (t & MASK) + _shift_up(t >> BASE_BITS, 1)
+    return t
+
+
+def ks_resolve(t):
+    """Kogge-Stone carry resolution: digits <= 2^13 - 2 -> canonical 12-bit
+    limbs (carry out of the top limb is dropped; value must fit).
+
+    generate g_i = digit_i >= 2^12, propagate p_i = digit_i == 2^12 - 1;
+    the prefix-combine of (g, p) yields every carry-in in log2(n) steps.
     """
+    n = t.shape[-1]
+    g = t >= BASE
+    p = t == MASK
+    shift = 1
+    while shift < n:
+        g = g | (p & _shift_up(g, shift))
+        p = p & _shift_up(p, shift)
+        shift *= 2
+    carry_in = _shift_up(g.astype(jnp.uint32), 1)
+    return (t + carry_in) & MASK
+
+
+def normalize(cols):
+    """Accumulated columns (< 2^31) -> canonical 12-bit limbs, same width."""
+    return ks_resolve(csave(cols, 2))
+
+
+def carry_canonical(cols, nout: int):
+    """Normalize accumulated columns (< 2^31 each) into 12-bit limbs,
+    padding the limb axis to ``nout`` first so trailing carries have room."""
     m = cols.shape[-1]
-    carry = jnp.zeros(cols.shape[:-1], dtype=jnp.uint32)
-    out = []
-    for k in range(m):
-        v = cols[..., k] + carry
-        out.append(v & MASK)
-        carry = v >> BASE_BITS
-    for _ in range(m, nout):
-        out.append(carry & MASK)
-        carry = carry >> BASE_BITS
-    return jnp.stack(out, axis=-1)
+    if nout > m:
+        pad = jnp.zeros(cols.shape[:-1] + (nout - m,), dtype=cols.dtype)
+        cols = jnp.concatenate([cols, pad], axis=-1)
+    return normalize(cols)
 
 
 def raw_sub(x, y):
-    """Limb-wise subtraction with borrow chain.
+    """Limb-wise subtraction with a lookahead borrow chain.
 
     Returns ``(diff, borrow)`` where ``diff = x - y mod b^n`` and ``borrow``
-    is a uint32 0/1 flag (1 iff x < y).  Inputs must be normalized 12-bit
-    limbs.
+    is a uint32 0/1 flag (1 iff x < y).  Inputs must be canonical 12-bit
+    limbs.  Borrow generate/propagate mirrors the carry case: g = digit
+    difference < 0, p = difference == 0.
     """
     n = x.shape[-1]
-    xi = x.astype(jnp.int32)
-    yi = y.astype(jnp.int32)
-    borrow = jnp.zeros(x.shape[:-1], dtype=jnp.int32)
-    out = []
-    for k in range(n):
-        d = xi[..., k] - yi[..., k] - borrow
-        borrow = (d < 0).astype(jnp.int32)
-        out.append((d + (borrow << BASE_BITS)).astype(jnp.uint32))
-    return jnp.stack(out, axis=-1), borrow.astype(jnp.uint32)
+    t = x.astype(jnp.int32) - y.astype(jnp.int32)  # in (-2^12, 2^12)
+    g = t < 0
+    p = t == 0
+    shift = 1
+    while shift < n:
+        g = g | (p & _shift_up(g, shift))
+        p = p & _shift_up(p, shift)
+        shift *= 2
+    borrow_in = _shift_up(g.astype(jnp.int32), 1)
+    diff = ((t - borrow_in) & MASK).astype(jnp.uint32)
+    borrow_out = g[..., -1].astype(jnp.uint32)
+    return diff, borrow_out
 
 
 def _mod_broadcast(spec: FieldSpec, shape, width: int):
@@ -190,7 +234,8 @@ def cond_sub_mod(spec: FieldSpec, x):
 
 @partial(jax.jit, static_argnums=0)
 def add_mod(spec: FieldSpec, a, b):
-    s = carry_canonical(a + b, spec.nlimbs + 1)
+    # digits <= 2^13 - 2, value < 2N < b^n: one lookahead pass suffices.
+    s = ks_resolve(a + b)
     return cond_sub_mod(spec, s)
 
 
@@ -198,7 +243,9 @@ def add_mod(spec: FieldSpec, a, b):
 def sub_mod(spec: FieldSpec, a, b):
     d, borrow = raw_sub(a, b)
     mod = _mod_broadcast(spec, d.shape, spec.nlimbs)
-    wrapped = carry_canonical(d + mod, spec.nlimbs)
+    # On borrow the wrap d + N overflows b^n by exactly the borrowed amount;
+    # ks_resolve drops that top carry, yielding a - b + N exactly.
+    wrapped = ks_resolve(d + mod)
     return jnp.where((borrow != 0)[..., None], wrapped, d)
 
 
@@ -232,31 +279,78 @@ def geq_const(spec: FieldSpec, a, bound_limbs) -> jnp.ndarray:
 # ---------------------------------------------------------------------------
 
 
+def _mul_cols_pad(a, b, nout: int):
+    """Column sums as statically-shifted wide vector adds (one row product
+    per limb of ``a``).  ~3n ops, but each fuses into the consumer - the
+    fastest form on TPU, where XLA fuses the whole chain into VPU code."""
+    n = a.shape[-1]
+    nb = b.shape[-1]
+    shape = jnp.broadcast_shapes(a.shape[:-1], b.shape[:-1])
+    total = jnp.zeros(shape + (nout,), jnp.uint32)
+    for i in range(min(n, nout)):
+        w = min(nb, nout - i)
+        prod = a[..., i : i + 1] * b[..., :w]
+        prod = jnp.broadcast_to(prod, shape + (w,))
+        pad = [(0, 0)] * len(shape) + [(i, nout - i - w)]
+        total = total + jnp.pad(prod, pad)
+    return total
+
+
+def _mul_cols_shear(a, b, nout: int):
+    """Column sums via the pad-flatten-reshear trick: the [.., n, nb+n]
+    padded product matrix, viewed flat and re-reshaped at row stride
+    ``nb+n-1``, lines every anti-diagonal up in a column - one outer
+    product, one pad, two reshapes, one reduction (~6 ops).  XLA-on-CPU
+    barely fuses elementwise chains, so fewer/larger ops win there by ~18x
+    over the pad-accumulate form (which it wins by 4x on TPU)."""
+    n = a.shape[-1]
+    nb = b.shape[-1]
+    shape = jnp.broadcast_shapes(a.shape[:-1], b.shape[:-1])
+    prod = a[..., :, None] * b[..., None, :]  # [.., n, nb]
+    prod = jnp.broadcast_to(prod, shape + (n, nb))
+    f = jnp.pad(prod, [(0, 0)] * len(shape) + [(0, 0), (0, n)])
+    flat = f.reshape(shape + (n * (nb + n),))[..., : n * (nb + n - 1)]
+    cols = flat.reshape(shape + (n, nb + n - 1)).sum(axis=-2, dtype=jnp.uint32)
+    if nout <= nb + n - 1:
+        return cols[..., :nout]
+    return jnp.pad(cols, [(0, 0)] * len(shape) + [(0, nout - (nb + n - 1))])
+
+
+def _mul_cols(a, b, nout: int):
+    import jax
+
+    if jax.default_backend() == "cpu":
+        return _mul_cols_shear(a, b, nout)
+    return _mul_cols_pad(a, b, nout)
+
+
 @partial(jax.jit, static_argnums=0)
 def mont_mul(spec: FieldSpec, a, b):
     """Montgomery product ``a * b * R^-1 mod N`` on canonical limb tensors.
 
-    CIOS with lazy columns: per iteration only column 0 is resolved (its low
-    12 bits are exactly cancelled by construction of m); all other columns
-    accumulate raw products.  Column bound: 32 iterations x 2 products
-    (< 2^25) + carries < 2^31, safe in uint32 lanes.
+    Column-parallel SOS/REDC rather than iterated CIOS: the per-limb CIOS
+    recurrence compiles to thousands of sliced HLO ops, which is both
+    XLA-compile-hostile and vector-unfriendly.  Here every step is a wide
+    tensor op:
+
+      T    = colsum(a (x) b)                       columns < n * 2^24 < 2^31
+      m    = colsum_lo(csave(T_lo) (x) N') mod R   N' = -N^-1 mod R, full width
+      U    = T + colsum(m (x) N)                   == 0 mod R by construction
+      out  = (normalize(U) >> R-limbs)             one conditional subtract
+
+    The quotient m is exact mod R because truncating columns >= n only drops
+    multiples of R; its relaxed digits (<= 2^12 + 127) keep m < 1.04 R, so
+    the result is < 1.2 N and a single cond-sub canonicalizes.
     """
     n = spec.nlimbs
     mod = jnp.asarray(spec.mod_limbs)
-    n0 = np.uint32(spec.n0inv)
-    t = jnp.zeros(jnp.broadcast_shapes(a.shape, b.shape), dtype=jnp.uint32)
-    zero_col = jnp.zeros(t.shape[:-1] + (1,), dtype=jnp.uint32)
-    for i in range(n):
-        ai = a[..., i : i + 1]
-        prod = ai * b
-        t0 = t[..., 0] + prod[..., 0]
-        m = ((t0 & MASK) * n0) & MASK
-        tl = t + prod + m[..., None] * mod
-        c0 = tl[..., 0] >> BASE_BITS
-        t = jnp.concatenate([tl[..., 1:], zero_col], axis=-1)
-        t = t.at[..., 0].add(c0)
-    norm = carry_canonical(t, n + 1)
-    return cond_sub_mod(spec, norm)
+    nprime = jnp.asarray(spec.nprime_limbs)
+    tcols = _mul_cols(a, b, 2 * n)  # < 2^31
+    tlo = csave(tcols[..., :n], 2)  # digits <= 2^12 + 127
+    m = csave(_mul_cols(tlo, nprime, n), 2)
+    ucols = tcols + _mul_cols(m, mod, 2 * n)
+    full = normalize(ucols)  # low n limbs are exactly zero
+    return cond_sub_mod(spec, full[..., n:])
 
 
 def mont_sqr(spec: FieldSpec, a):

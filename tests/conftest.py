@@ -12,7 +12,10 @@ import os
 import pathlib
 
 if not os.environ.get("KZG_TPU_TEST_REAL_DEVICE"):
-    os.environ.setdefault("JAX_PLATFORMS", "cpu")
+    # Force-override: the ambient environment may register a real-accelerator
+    # PJRT plugin (e.g. a tunneled TPU) that ignores the JAX_PLATFORMS env
+    # var, so pin the platform through jax.config below as well.
+    os.environ["JAX_PLATFORMS"] = "cpu"
     flags = os.environ.get("XLA_FLAGS", "")
     if "host_platform_device_count" not in flags:
         os.environ["XLA_FLAGS"] = (
@@ -21,6 +24,9 @@ if not os.environ.get("KZG_TPU_TEST_REAL_DEVICE"):
 
 import jax
 import pytest
+
+if not os.environ.get("KZG_TPU_TEST_REAL_DEVICE"):
+    jax.config.update("jax_platforms", "cpu")
 
 # Limb-arithmetic graphs are compile-heavy; persist compiled executables so
 # repeat test runs skip XLA compilation.
@@ -34,7 +40,20 @@ TRUSTED_SETUP_JSON = REPO_ROOT / "data" / "testing_trusted_setups.json"
 
 
 def backend_name() -> str:
-    return os.environ.get("KZG_TPU_BACKEND", "jax")
+    """Backend for the conformance suite.
+
+    Default: the jax device path when a real accelerator is attached
+    (KZG_TPU_TEST_REAL_DEVICE=1), else the golden oracle.  XLA-on-CPU cannot
+    run the mainnet-width device kernels in tolerable time, so the CPU-side
+    coverage of the device path is the small-width unit tests
+    (test_ops_*.py) plus the sharded-mesh tests; the device path's 208-vector
+    conformance run happens on TPU (and in bench.py).  Override with
+    KZG_TPU_BACKEND=jax|golden.
+    """
+    env = os.environ.get("KZG_TPU_BACKEND")
+    if env:
+        return env
+    return "jax" if os.environ.get("KZG_TPU_TEST_REAL_DEVICE") else "golden"
 
 
 @pytest.fixture(scope="session")

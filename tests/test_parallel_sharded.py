@@ -1,0 +1,49 @@
+"""Multi-chip sharding tests on the virtual 8-device CPU mesh
+(conftest forces the CPU platform with xla_force_host_platform_device_count=8;
+SURVEY.md section 4: test sharded paths without a pod).
+
+Shapes are shared across tests (n=16 points, one mesh, one fold) because
+every distinct shape costs a full XLA compile set on CPU.
+"""
+
+from __future__ import annotations
+
+import random
+
+import jax
+import pytest
+
+from kzg_rust_tpu.golden import curve as gc
+from kzg_rust_tpu.golden.field import R
+from kzg_rust_tpu.parallel import sharded as S
+
+rng = random.Random(0xD15C)
+
+N_POINTS = 16
+
+
+@pytest.fixture(scope="module")
+def sharded_ctx():
+    if len(jax.devices()) < 2:
+        pytest.skip("needs a multi-device mesh")
+    mesh = S.default_mesh()
+    pts = [gc.g1_mul(gc.G1_GENERATOR, rng.randrange(1, gc.R)) for _ in range(N_POINTS)]
+    ctx = S.ShardedMsmContext.build_from_points(pts, mesh, fold=32)
+    return ctx, pts
+
+
+def test_sharded_msm_matches_naive(sharded_ctx):
+    ctx, pts = sharded_ctx
+    scalars = [rng.randrange(R) for _ in range(N_POINTS)]
+    got = S.msm_fixed_base_sharded(ctx, scalars)
+    assert got == gc.g1_lincomb_naive(pts, scalars)
+
+
+def test_sharded_msm_matches_single_chip(sharded_ctx):
+    from kzg_rust_tpu.ops import msm as M
+
+    ctx, pts = sharded_ctx
+    # fold=64 matches the MsmContext shapes in test_ops_msm.py.
+    sc = M.MsmContext.build_from_points(pts, fold=64)
+    scalars = [rng.randrange(R) for _ in range(N_POINTS)]
+    assert S.msm_fixed_base_sharded(ctx, scalars) == M.msm_fixed_base(sc, scalars)
