@@ -35,6 +35,16 @@ def random_blob(rng: random.Random, n_fe: int) -> bytes:
 
 def main() -> None:
     os.environ.setdefault("KZG_TPU_BACKEND", "jax")
+    import jax
+
+    # Persist compiled executables: the limb-tensor graphs are compile-heavy
+    # and identical across runs, so repeat invocations skip XLA entirely.
+    jax.config.update(
+        "jax_compilation_cache_dir", os.path.expanduser("~/.cache/jax_kzg")
+    )
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)
+
     from kzg_rust_tpu import Blob, Kzg
 
     settings = Kzg.load_trusted_setup_file(

@@ -77,17 +77,84 @@ def g1_double(p):
     return g1_add(p, p)
 
 
+# -- Jacobian internals (no per-step inversion; one inversion to convert
+# back to affine).  Used by the hot host paths: scalar muls, lincombs,
+# subgroup checks.  Z == 0 encodes infinity.
+
+
+def _jdbl1(pt):
+    x1, y1, z1 = pt
+    a = x1 * x1 % P
+    b = y1 * y1 % P
+    c = b * b % P
+    t = x1 + b
+    d = 2 * (t * t - a - c) % P
+    e = 3 * a % P
+    x3 = (e * e - 2 * d) % P
+    y3 = (e * (d - x3) - 8 * c) % P
+    z3 = 2 * y1 * z1 % P
+    return (x3, y3, z3)
+
+
+def _jadd1(p1, p2):
+    x1, y1, z1 = p1
+    x2, y2, z2 = p2
+    if z1 == 0:
+        return p2
+    if z2 == 0:
+        return p1
+    z1z1 = z1 * z1 % P
+    z2z2 = z2 * z2 % P
+    u1 = x1 * z2z2 % P
+    u2 = x2 * z1z1 % P
+    s1 = y1 * z2 * z2z2 % P
+    s2 = y2 * z1 * z1z1 % P
+    if u1 == u2:
+        if (s1 + s2) % P == 0:
+            return (1, 1, 0)
+        return _jdbl1(p1)
+    h = (u2 - u1) % P
+    i = 4 * h * h % P
+    j = h * i % P
+    rr = 2 * (s2 - s1) % P
+    v = u1 * i % P
+    x3 = (rr * rr - j - 2 * v) % P
+    y3 = (rr * (v - x3) - 2 * s1 * j) % P
+    z3 = ((z1 + z2) * (z1 + z2) - z1z1 - z2z2) * h % P
+    return (x3, y3, z3)
+
+
+def _jto1(p):
+    return (1, 1, 0) if p is None else (p[0], p[1], 1)
+
+
+def _jaff1(pt):
+    x, y, z = pt
+    if z == 0:
+        return None
+    zinv = pow(z, -1, P)
+    zinv2 = zinv * zinv % P
+    return (x * zinv2 % P, y * zinv2 * zinv % P)
+
+
+def _jmul1(pt, k: int):
+    """Jacobian double-and-add; k is NOT reduced (callers decide)."""
+    acc = (1, 1, 0)
+    base = pt
+    while k:
+        if k & 1:
+            acc = _jadd1(acc, base)
+        base = _jdbl1(base)
+        k >>= 1
+    return acc
+
+
 def g1_mul(p, k: int):
     """Scalar multiplication (reference: utils.rs:126-140 uses 256-bit blst_p1_mult)."""
     k %= R
-    result = None
-    base = p
-    while k:
-        if k & 1:
-            result = g1_add(result, base)
-        base = g1_add(base, base)
-        k >>= 1
-    return result
+    if p is None or k == 0:
+        return None
+    return _jaff1(_jmul1(_jto1(p), k))
 
 
 def g1_sub(p, q):
@@ -106,25 +173,33 @@ def g1_is_on_curve(p) -> bool:
     return (y * y - (x * x * x + _B_G1)) % P == 0
 
 
+# GLV endomorphism phi(x, y) = (beta x, y) with beta a primitive cube root
+# of unity in Fp.  On curve points phi^2 + phi + 1 = 0; the eigenvalue of
+# phi on the generator is e = -z^2 (z = |BLS x|), and e^2 + e + 1 == r as
+# INTEGERS, so phi(P) == [e]P  <=>  [r]P == infinity.  This makes the
+# subgroup check one 128-bit scalar mul instead of a 255-bit one.
+_BETA = pow(2, (P - 1) // 3, P)
+_Z2 = 0xD201000000010000**2
+assert _Z2 * _Z2 - _Z2 + 1 == R  # (-z^2)^2 + (-z^2) + 1 == r
+
+
 def g1_in_subgroup(p) -> bool:
-    """Subgroup check: [r]P == infinity (reference: blst_p1_in_g1 at utils.rs:303)."""
+    """Subgroup check, equivalent to [r]P == infinity
+    (reference: blst_p1_in_g1 at utils.rs:303); see the phi-eigenvalue
+    derivation above."""
     if p is None:
         return True
     if not g1_is_on_curve(p):
         return False
-    return g1_mul_unsafe(p, R) is None
+    phi = (_BETA * p[0] % P, p[1])
+    return phi == g1_neg(_jaff1(_jmul1(_jto1(p), _Z2)))
 
 
 def g1_mul_unsafe(p, k: int):
     """Scalar mult without reducing k mod r (for subgroup checks)."""
-    result = None
-    base = p
-    while k:
-        if k & 1:
-            result = g1_add(result, base)
-        base = g1_add(base, base)
-        k >>= 1
-    return result
+    if p is None or k == 0:
+        return None
+    return _jaff1(_jmul1(_jto1(p), k))
 
 
 # ---------------------------------------------------------------------------
@@ -163,16 +238,74 @@ def g2_add(p, q):
     return (x3, y3)
 
 
+def _jdbl2(pt):
+    x1, y1, z1 = pt
+    a = f.fp2_sqr(x1)
+    b = f.fp2_sqr(y1)
+    c = f.fp2_sqr(b)
+    t = f.fp2_sub(f.fp2_sub(f.fp2_sqr(f.fp2_add(x1, b)), a), c)
+    d = f.fp2_add(t, t)
+    e = f.fp2_mul_fp(a, 3)
+    x3 = f.fp2_sub(f.fp2_sqr(e), f.fp2_add(d, d))
+    c8 = f.fp2_mul_fp(c, 8)
+    y3 = f.fp2_sub(f.fp2_mul(e, f.fp2_sub(d, x3)), c8)
+    z3 = f.fp2_mul_fp(f.fp2_mul(y1, z1), 2)
+    return (x3, y3, z3)
+
+
+def _jadd2(p1, p2):
+    x1, y1, z1 = p1
+    x2, y2, z2 = p2
+    if f.fp2_is_zero(z1):
+        return p2
+    if f.fp2_is_zero(z2):
+        return p1
+    z1z1 = f.fp2_sqr(z1)
+    z2z2 = f.fp2_sqr(z2)
+    u1 = f.fp2_mul(x1, z2z2)
+    u2 = f.fp2_mul(x2, z1z1)
+    s1 = f.fp2_mul(f.fp2_mul(y1, z2), z2z2)
+    s2 = f.fp2_mul(f.fp2_mul(y2, z1), z1z1)
+    if f.fp2_eq(u1, u2):
+        if f.fp2_is_zero(f.fp2_add(s1, s2)):
+            return (f.FP2_ONE, f.FP2_ONE, f.FP2_ZERO)
+        return _jdbl2(p1)
+    h = f.fp2_sub(u2, u1)
+    i = f.fp2_mul_fp(f.fp2_sqr(h), 4)
+    j = f.fp2_mul(h, i)
+    rr = f.fp2_mul_fp(f.fp2_sub(s2, s1), 2)
+    v = f.fp2_mul(u1, i)
+    x3 = f.fp2_sub(f.fp2_sub(f.fp2_sqr(rr), j), f.fp2_mul_fp(v, 2))
+    y3 = f.fp2_sub(
+        f.fp2_mul(rr, f.fp2_sub(v, x3)), f.fp2_mul_fp(f.fp2_mul(s1, j), 2)
+    )
+    z3 = f.fp2_mul(
+        f.fp2_sub(f.fp2_sub(f.fp2_sqr(f.fp2_add(z1, z2)), z1z1), z2z2), h
+    )
+    return (x3, y3, z3)
+
+
+def _jaff2(pt):
+    x, y, z = pt
+    if f.fp2_is_zero(z):
+        return None
+    zinv = f.fp2_inv(z)
+    zinv2 = f.fp2_sqr(zinv)
+    return (f.fp2_mul(x, zinv2), f.fp2_mul(f.fp2_mul(y, zinv2), zinv))
+
+
 def g2_mul(p, k: int):
     k %= R
-    result = None
-    base = p
+    if p is None or k == 0:
+        return None
+    acc = (f.FP2_ONE, f.FP2_ONE, f.FP2_ZERO)
+    base = (p[0], p[1], f.FP2_ONE)
     while k:
         if k & 1:
-            result = g2_add(result, base)
-        base = g2_add(base, base)
+            acc = _jadd2(acc, base)
+        base = _jdbl2(base)
         k >>= 1
-    return result
+    return _jaff2(acc)
 
 
 def g2_sub(p, q):
@@ -286,11 +419,15 @@ def g2_uncompress(data: bytes):
 
 
 def g1_lincomb_naive(points, scalars):
-    """Per-point mult + add (reference: utils.rs:329-342, used in verification)."""
-    acc = None
+    """Per-point mult + add (reference: utils.rs:329-342, used in
+    verification).  Jacobian accumulation internally; identical result."""
+    acc = (1, 1, 0)
     for p, s in zip(points, scalars):
-        acc = g1_add(acc, g1_mul(p, s))
-    return acc
+        k = s % R
+        if p is None or k == 0:
+            continue
+        acc = _jadd1(acc, _jmul1(_jto1(p), k))
+    return _jaff1(acc)
 
 
 def g1_lincomb_pippenger(points, scalars, window: int = 8):
@@ -303,21 +440,23 @@ def g1_lincomb_pippenger(points, scalars, window: int = 8):
         return g1_lincomb_naive(points, scalars)
     nbits = 255
     nwin = (nbits + window - 1) // window
-    acc = None
+    inf = (1, 1, 0)
+    jpts = [_jto1(p) for p in points]
+    acc = inf
     for w in range(nwin - 1, -1, -1):
-        if acc is not None:
+        if acc[2] != 0:
             for _ in range(window):
-                acc = g1_double(acc)
-        buckets = [None] * (1 << window)
+                acc = _jdbl1(acc)
+        buckets = [inf] * (1 << window)
         shift = w * window
-        for p, s in zip(points, scalars):
+        for jp, s in zip(jpts, scalars):
             d = (s >> shift) & ((1 << window) - 1)
             if d:
-                buckets[d] = g1_add(buckets[d], p)
-        running = None
-        win_sum = None
+                buckets[d] = _jadd1(buckets[d], jp)
+        running = inf
+        win_sum = inf
         for d in range((1 << window) - 1, 0, -1):
-            running = g1_add(running, buckets[d])
-            win_sum = g1_add(win_sum, running)
-        acc = g1_add(acc, win_sum)
-    return acc
+            running = _jadd1(running, buckets[d])
+            win_sum = _jadd1(win_sum, running)
+        acc = _jadd1(acc, win_sum)
+    return _jaff1(acc)

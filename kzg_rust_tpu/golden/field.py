@@ -332,7 +332,15 @@ def fp12_mul(a, b):
 
 
 def fp12_sqr(a):
-    return fp12_mul(a, a)
+    # Complex squaring: (a0 + a1 w)^2 = a0^2 + v a1^2 + 2 a0 a1 w, computed
+    # with two Fp6 multiplies instead of fp12_mul's three.
+    a0, a1 = a
+    t = fp6_mul(a0, a1)
+    c0 = fp6_sub(
+        fp6_sub(fp6_mul(fp6_add(a0, a1), fp6_add(a0, fp6_mul_by_v(a1))), t),
+        fp6_mul_by_v(t),
+    )
+    return (c0, fp6_add(t, t))
 
 
 def fp12_conj(a):
@@ -357,6 +365,36 @@ def fp12_pow(a, e: int):
         base = fp12_sqr(base)
         e >>= 1
     return result
+
+
+def fp12_cyclo_sqr(a):
+    """Granger-Scott squaring, valid only in the cyclotomic subgroup
+    (elements of norm 1, i.e. anything after the easy part of the final
+    exponentiation).  9 Fp2 squarings versus 18 Fp2 multiplies for the
+    generic ``fp12_sqr``."""
+    (g0, g1, g2), (g3, g4, g5) = a
+
+    t0 = fp2_sqr(g4)
+    t1 = fp2_sqr(g0)
+    t6 = fp2_sub(fp2_sub(fp2_sqr(fp2_add(g4, g0)), t0), t1)  # 2 g0 g4
+    t2 = fp2_sqr(g2)
+    t3 = fp2_sqr(g3)
+    t7 = fp2_sub(fp2_sub(fp2_sqr(fp2_add(g2, g3)), t2), t3)  # 2 g2 g3
+    t4 = fp2_sqr(g5)
+    t5 = fp2_sqr(g1)
+    t8 = fp2_mul(XI, fp2_sub(fp2_sub(fp2_sqr(fp2_add(g5, g1)), t4), t5))  # 2 g1 g5 xi
+
+    t0 = fp2_add(fp2_mul(XI, t0), t1)  # g0^2 + xi g4^2
+    t2 = fp2_add(fp2_mul(XI, t2), t3)  # g3^2 + xi g2^2
+    t4 = fp2_add(fp2_mul(XI, t4), t5)  # g1^2 + xi g5^2
+
+    z0 = fp2_add(fp2_mul_fp(fp2_sub(t0, g0), 2), t0)  # 3 t0 - 2 g0
+    z1 = fp2_add(fp2_mul_fp(fp2_sub(t2, g1), 2), t2)
+    z2 = fp2_add(fp2_mul_fp(fp2_sub(t4, g2), 2), t4)
+    z3 = fp2_add(fp2_mul_fp(fp2_add(t8, g3), 2), t8)  # 3 t8 + 2 g3
+    z4 = fp2_add(fp2_mul_fp(fp2_add(t6, g4), 2), t6)
+    z5 = fp2_add(fp2_mul_fp(fp2_add(t7, g5), 2), t7)
+    return ((z0, z1, z2), (z3, z4, z5))
 
 
 def fp12_eq(a, b) -> bool:

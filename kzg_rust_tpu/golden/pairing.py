@@ -23,9 +23,20 @@ from __future__ import annotations
 from . import field as f
 from .field import BLS_X, P, R
 
-# Hard-part exponent of the final exponentiation.
+# Hard-part exponent of the final exponentiation.  The x-based chain below
+# computes the CUBE of the standard hard part: for BLS12 curves
+#   (x-1)^2 (x+p) (x^2+p^2-1) + 3 == 3 * (p^4-p^2+1)/r
+# (verified at import).  Since pairing values live in mu_r and 3 does not
+# divide r, cubing is a bijection on that group, so is-one checks (the only
+# consumer, ``pairings_verify``) are unchanged - the same trick blst-class
+# implementations use.
 _HARD_EXP = (P**4 - P**2 + 1) // R
 assert (P**4 - P**2 + 1) % R == 0
+_SIGNED_X = -BLS_X
+assert (_SIGNED_X - 1) ** 2 * (_SIGNED_X + P) * (
+    _SIGNED_X**2 + P**2 - 1
+) + 3 == 3 * _HARD_EXP
+assert R % 3 != 0
 
 _XI = f.XI
 
@@ -86,13 +97,36 @@ def miller_loop(p_g1, q_g2):
     return f.fp12_conj(fx)
 
 
+_ABS_X_BITS = [(BLS_X >> i) & 1 for i in range(BLS_X.bit_length() - 2, -1, -1)]
+
+
+def _exp_by_x(m):
+    """m^x for cyclotomic m (x = -|BLS_X|): square-and-multiply by |x| with
+    Granger-Scott squarings, then conjugate (the cyclotomic inverse)."""
+    r = m
+    for bit in _ABS_X_BITS:
+        r = f.fp12_cyclo_sqr(r)
+        if bit:
+            r = f.fp12_mul(r, m)
+    return f.fp12_conj(r)
+
+
 def final_exponentiation(x):
-    """x^((p^12 - 1) / r)."""
-    # Easy part: x^(p^6 - 1), then ^(p^2 + 1).
-    t = f.fp12_mul(f.fp12_conj(x), f.fp12_inv(x))
-    t = f.fp12_mul(f.fp12_frobenius_n(t, 2), t)
-    # Hard part: ^((p^4 - p^2 + 1) / r).
-    return f.fp12_pow(t, _HARD_EXP)
+    """x^(3 * (p^12 - 1) / r) - the cubed final exponentiation (see the
+    module-top identity).  is-one semantics identical to the standard map."""
+    # Easy part: x^(p^6 - 1), then ^(p^2 + 1).  Lands in the cyclotomic
+    # subgroup, where inverse == conjugate and Granger-Scott squaring holds.
+    m = f.fp12_mul(f.fp12_conj(x), f.fp12_inv(x))
+    m = f.fp12_mul(f.fp12_frobenius_n(m, 2), m)
+    # Hard part via the x-chain: m^((x-1)^2 (x+p) (x^2+p^2-1) + 3).
+    u = f.fp12_mul(_exp_by_x(m), f.fp12_conj(m))  # m^(x-1)
+    u = f.fp12_mul(_exp_by_x(u), f.fp12_conj(u))  # m^((x-1)^2)
+    w1 = f.fp12_mul(_exp_by_x(u), f.fp12_frobenius(u))  # ^(x+p)
+    y = f.fp12_mul(
+        f.fp12_mul(_exp_by_x(_exp_by_x(w1)), f.fp12_frobenius_n(w1, 2)),
+        f.fp12_conj(w1),
+    )  # ^(x^2 + p^2 - 1)
+    return f.fp12_mul(y, f.fp12_mul(f.fp12_cyclo_sqr(m), m))  # * m^3
 
 
 def pairings_verify(a1, a2, b1, b2) -> bool:
