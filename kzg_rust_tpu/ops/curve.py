@@ -6,14 +6,14 @@ lincombs; SURVEY.md section 2.3) as fixed-shape JAX programs over the Fp
 limb representation from :mod:`kzg_rust_tpu.ops.limbs`.
 
 Representation: a point batch is one ``uint32`` tensor ``[..., 3, NLIMBS_FP]``
-holding Jacobian ``(X, Y, Z)`` coordinates in Montgomery form.  The point at
-infinity is encoded as ``Z == 0`` (with ``X = Y = mont(1)``), so every edge
-case (infinity operands, doubling, inverse pairs) is handled by masked
-selects instead of branches - the vmap/vectorization requirement the
-reference's host code never had (SURVEY.md section 7 "hard parts" #3).
-
-BLS12-381 G1 has no 2-torsion (the cofactor is odd), so no on-curve point
-has ``y == 0`` and the a=0 doubling formula is complete on curve points.
+holding HOMOGENEOUS PROJECTIVE ``(X, Y, Z)`` coordinates in Montgomery form
+(x = X/Z, y = Y/Z); the point at infinity is ``(0, 1, 0)``.  Addition and
+doubling use the Renes-Costello-Batina exception-free formulas for a = 0
+curves (eprint 2015/1060, algorithms 7-9): complete on ALL inputs -
+infinity operands, P + P, P + (-P) - with no masks and no branches, which
+is exactly what vectorization over thousands of lanes needs (SURVEY.md
+section 7 "hard parts" #3).  Costs: add 12M, mixed add 11M, double 8M,
+versus ~16M + 7M-doubling + three masked selects for branching Jacobian.
 """
 
 from __future__ import annotations
@@ -27,21 +27,26 @@ from ..golden.field import P
 from . import limbs as L
 from .fields import FP
 
+# b3 = 3 * b = 12 for y^2 = x^3 + 4, stored in Montgomery form.
+_B3_MONT = L.int_to_limbs(
+    FP.nlimbs, (12 * ((1 << (L.BASE_BITS * FP.nlimbs)) % P)) % P
+)
+
 
 # ---------------------------------------------------------------------------
-# Host codecs: golden affine int points <-> device Jacobian Montgomery limbs
+# Host codecs: golden affine int points <-> device projective Montgomery limbs
 # ---------------------------------------------------------------------------
 
 
-def points_to_jacobian(points) -> np.ndarray:
+def points_to_proj(points) -> np.ndarray:
     """List of golden affine points ((x, y) ints, None == infinity) ->
-    ``[N, 3, NLIMBS_FP]`` uint32 Jacobian Montgomery limbs."""
+    ``[N, 3, NLIMBS_FP]`` uint32 projective Montgomery limbs."""
     n = len(points)
     rr = (1 << (L.BASE_BITS * FP.nlimbs)) % P  # mont(1) as int
     xs, ys, zs = [], [], []
     for p in points:
         if p is None:
-            xs.append(rr)
+            xs.append(0)
             ys.append(rr)
             zs.append(0)
         else:
@@ -55,11 +60,16 @@ def points_to_jacobian(points) -> np.ndarray:
     return out
 
 
-def jacobian_to_points(arr) -> list:
-    """``[N, 3, NLIMBS_FP]`` device Jacobian Montgomery limbs -> list of
-    golden affine int points (None == infinity).  Host-side conversion; used
-    only on small outputs (MSM results), so plain bigint inversion is fine."""
-    arr = np.asarray(L.from_mont(FP, jnp.asarray(arr)))
+def proj_to_points(arr, mont: bool = True) -> list:
+    """``[N, 3, NLIMBS_FP]`` device projective limbs -> list of golden
+    affine int points (None == infinity).  ``mont=False`` when the kernel
+    already converted out of Montgomery form (fused prover kernels).
+    Host-side conversion; used only on small outputs (MSM results), so
+    plain bigint inversion is fine."""
+    if mont:
+        arr = np.asarray(L.from_mont(FP, jnp.asarray(arr)))
+    else:
+        arr = np.asarray(arr)
     out = []
     for i in range(arr.shape[0]):
         x = L.limbs_to_int(arr[i, 0])
@@ -69,20 +79,20 @@ def jacobian_to_points(arr) -> list:
             out.append(None)
             continue
         zinv = pow(z, -1, P)
-        zinv2 = (zinv * zinv) % P
-        out.append(((x * zinv2) % P, (y * zinv2 * zinv) % P))
+        out.append(((x * zinv) % P, (y * zinv) % P))
     return out
 
 
-def jacobian_infinity(shape=()) -> jnp.ndarray:
-    """An infinity-point tensor of batch shape ``shape``."""
+def proj_infinity(shape=()) -> jnp.ndarray:
+    """An infinity-point tensor (0, 1, 0) of batch shape ``shape``."""
     one = np.asarray(FP.one_mont)
-    pt = np.stack([one, one, np.zeros_like(one)], axis=0)
+    zero = np.zeros_like(one)
+    pt = np.stack([zero, one, zero], axis=0)
     return jnp.broadcast_to(jnp.asarray(pt), tuple(shape) + (3, FP.nlimbs))
 
 
 # ---------------------------------------------------------------------------
-# Branch-free point ops
+# Exception-free point ops (RCB algorithms 7-9, a = 0)
 # ---------------------------------------------------------------------------
 
 
@@ -100,71 +110,82 @@ def point_neg(p):
     return jnp.stack([p[..., 0, :], y, p[..., 2, :]], axis=-2)
 
 
-def jacobian_double(p):
-    """Complete a=0 Jacobian doubling ("dbl-2009-l").  7 field muls.
-
-    Infinity is preserved for free: Z1 == 0 gives Z3 == 0.
-    """
-    x1, y1, z1 = p[..., 0, :], p[..., 1, :], p[..., 2, :]
-    mul = lambda u, v: L.mont_mul(FP, u, v)
-    add = lambda u, v: L.add_mod(FP, u, v)
-    sub = lambda u, v: L.sub_mod(FP, u, v)
-
-    a = mul(x1, x1)
-    b = mul(y1, y1)
-    c = mul(b, b)
-    t = mul(add(x1, b), add(x1, b))
-    d = add(sub(sub(t, a), c), sub(sub(t, a), c))  # 2((X+B)^2 - A - C)
-    e = add(add(a, a), a)
-    f = mul(e, e)
-    x3 = sub(f, add(d, d))
-    c8 = add(add(add(c, c), add(c, c)), add(add(c, c), add(c, c)))
-    y3 = sub(mul(e, sub(d, x3)), c8)
-    z3 = add(mul(y1, z1), mul(y1, z1))
-    return jnp.stack([x3, y3, z3], axis=-2)
-
-
-def jacobian_add(p, q):
-    """Complete Jacobian addition: handles infinity operands, P + P
-    (doubling) and P + (-P) (infinity) via masked selects.  ~16 field muls
-    for the generic path plus the 7-mul doubling branch, all lanes computed,
-    result selected - the branch-free re-expression of blst's internal
-    branching (reference: utils.rs:162-183)."""
+def proj_add(p, q):
+    """Complete projective addition (RCB eprint 2015/1060 algorithm 7,
+    a = 0, 12M).  Valid for every input pair - no special cases exist."""
     x1, y1, z1 = p[..., 0, :], p[..., 1, :], p[..., 2, :]
     x2, y2, z2 = q[..., 0, :], q[..., 1, :], q[..., 2, :]
     mul = lambda u, v: L.mont_mul(FP, u, v)
-    sub = lambda u, v: L.sub_mod(FP, u, v)
     add = lambda u, v: L.add_mod(FP, u, v)
+    sub = lambda u, v: L.sub_mod(FP, u, v)
+    b3 = jnp.asarray(_B3_MONT)
 
-    inf1 = L.is_zero(z1)
-    inf2 = L.is_zero(z2)
+    t0 = mul(x1, x2)
+    t1 = mul(y1, y2)
+    t2 = mul(z1, z2)
+    t3 = sub(mul(add(x1, y1), add(x2, y2)), add(t0, t1))  # X1Y2 + X2Y1
+    t4 = sub(mul(add(y1, z1), add(y2, z2)), add(t1, t2))  # Y1Z2 + Y2Z1
+    t5 = sub(mul(add(x1, z1), add(x2, z2)), add(t0, t2))  # X1Z2 + X2Z1
+    three_t0 = add(add(t0, t0), t0)
+    bt2 = mul(b3, t2)
+    z3t = add(t1, bt2)
+    t1m = sub(t1, bt2)
+    y3t = mul(b3, t5)
+    x3 = sub(mul(t3, t1m), mul(t4, y3t))
+    y3 = add(mul(y3t, three_t0), mul(t1m, z3t))
+    z3 = add(mul(z3t, t4), mul(three_t0, t3))
+    return jnp.stack([x3, y3, z3], axis=-2)
 
-    z1z1 = mul(z1, z1)
-    z2z2 = mul(z2, z2)
-    u1 = mul(x1, z2z2)
-    u2 = mul(x2, z1z1)
-    s1 = mul(mul(y1, z2), z2z2)
-    s2 = mul(mul(y2, z1), z1z1)
-    h = sub(u2, u1)
-    r = sub(s2, s1)
 
-    same_x = L.is_zero(h) & ~inf1 & ~inf2
-    dbl_case = same_x & L.is_zero(r)
-    inf_case = same_x & ~L.is_zero(r)  # q == -p
+def proj_add_mixed(p, q_affine):
+    """Complete mixed addition (RCB algorithm 8, a = 0, 11M): ``q_affine``
+    is ``[..., 2, l]`` affine Montgomery (X2, Y2), implicitly Z2 = 1, and
+    must NOT be the point at infinity (table points never are)."""
+    x1, y1, z1 = p[..., 0, :], p[..., 1, :], p[..., 2, :]
+    x2, y2 = q_affine[..., 0, :], q_affine[..., 1, :]
+    mul = lambda u, v: L.mont_mul(FP, u, v)
+    add = lambda u, v: L.add_mod(FP, u, v)
+    sub = lambda u, v: L.sub_mod(FP, u, v)
+    b3 = jnp.asarray(_B3_MONT)
 
-    hh = mul(h, h)
-    hhh = mul(h, hh)
-    v = mul(u1, hh)
-    x3 = sub(sub(mul(r, r), hhh), add(v, v))
-    y3 = sub(mul(r, sub(v, x3)), mul(s1, hhh))
-    z3 = mul(mul(z1, z2), h)
-    gen = jnp.stack([x3, y3, z3], axis=-2)
+    t0 = mul(x1, x2)
+    t1 = mul(y1, y2)
+    t3 = sub(mul(add(x1, y1), add(x2, y2)), add(t0, t1))  # X1Y2 + X2Y1
+    t4 = add(mul(y2, z1), y1)  # Y1 + Y2Z1
+    t5 = add(mul(x2, z1), x1)  # X1 + X2Z1
+    three_t0 = add(add(t0, t0), t0)
+    bt2 = mul(b3, z1)
+    z3t = add(t1, bt2)
+    t1m = sub(t1, bt2)
+    y3t = mul(b3, t5)
+    x3 = sub(mul(t3, t1m), mul(t4, y3t))
+    y3 = add(mul(y3t, three_t0), mul(t1m, z3t))
+    z3 = add(mul(z3t, t4), mul(three_t0, t3))
+    return jnp.stack([x3, y3, z3], axis=-2)
 
-    out = point_select(dbl_case, jacobian_double(p), gen)
-    out = point_select(inf_case, jacobian_infinity(out.shape[:-2]), out)
-    out = point_select(inf2, p, out)
-    out = point_select(inf1, q, out)
-    return out
+
+def proj_double(p):
+    """Exception-free projective doubling (RCB algorithm 9, a = 0, 8M)."""
+    x, y, z = p[..., 0, :], p[..., 1, :], p[..., 2, :]
+    mul = lambda u, v: L.mont_mul(FP, u, v)
+    add = lambda u, v: L.add_mod(FP, u, v)
+    sub = lambda u, v: L.sub_mod(FP, u, v)
+    b3 = jnp.asarray(_B3_MONT)
+
+    t0 = mul(y, y)
+    z3 = add(add(add(t0, t0), add(t0, t0)), add(add(t0, t0), add(t0, t0)))  # 8Y^2
+    t1 = mul(y, z)
+    t2 = mul(b3, mul(z, z))
+    x3 = mul(t2, z3)
+    y3 = add(t0, t2)
+    z3 = mul(t1, z3)
+    t1 = add(t2, t2)
+    t2 = add(t1, t2)
+    t0 = sub(t0, t2)
+    y3 = add(x3, mul(t0, y3))
+    x3 = mul(t0, mul(x, y))
+    x3 = add(x3, x3)
+    return jnp.stack([x3, y3, z3], axis=-2)
 
 
 def tree_reduce(points, scan_rows: int = 0):
@@ -181,8 +202,8 @@ def tree_reduce(points, scan_rows: int = 0):
     n = points.shape[0]
     if scan_rows > 1 and n % scan_rows == 0 and n > scan_rows:
         rows = points.reshape(scan_rows, n // scan_rows, 3, FP.nlimbs)
-        init = jacobian_infinity((n // scan_rows,))
-        acc = lax.scan(lambda a, r: (jacobian_add(a, r), None), init, rows)[0]
+        init = proj_infinity((n // scan_rows,))
+        acc = lax.scan(lambda a, r: (proj_add(a, r), None), init, rows)[0]
         points = acc
         n = points.shape[0]
     # Pad to a power of two with infinity (additive identity).
@@ -190,26 +211,26 @@ def tree_reduce(points, scan_rows: int = 0):
     while m < n:
         m *= 2
     if m != n:
-        pad = jacobian_infinity((m - n,))
+        pad = proj_infinity((m - n,))
         points = jnp.concatenate([points, pad], axis=0)
     while points.shape[0] > 1:
         half = points.shape[0] // 2
-        points = jacobian_add(points[:half], points[half:])
+        points = proj_add(points[:half], points[half:])
     return points[0]
 
 
 def fold_reduce(points, fold: int):
     """Sum ``[N, 3, nlimbs]`` points to one, with only TWO distinct add
-    shapes in the compiled program (the unrolled ``tree_reduce`` instantiates
+    shapes in the compiled program (an unrolled ``tree_reduce`` instantiates
     a fresh XLA computation per level width, which is compile-time death for
-    the ~70k-HLO complete add).
+    the wide complete add).
 
     Stage 1 folds N down to ``fold`` with a ``lax.scan`` of row adds (one
     add at width ``fold`` in the body).  Stage 2 runs a fixed-width ladder
     in a ``fori_loop``: each step adds the even- and odd-strided halves and
     pads the tail with infinity, keeping live partial sums in a prefix -
     same shapes every iteration, so XLA compiles the ~width-``fold/2`` add
-    exactly once.  Total work: N + fold*log2(fold)/... ~= N + fold adds.
+    exactly once.  Total work: ~N + fold adds.
     """
     from jax import lax
 
@@ -217,23 +238,31 @@ def fold_reduce(points, fold: int):
     assert fold >= 2 and (fold & (fold - 1)) == 0, "fold must be a power of 2"
     if n % fold != 0 or n < fold:
         pad = (-n) % fold if n > fold else fold - n
-        points = jnp.concatenate([points, jacobian_infinity((pad,))], axis=0)
+        points = jnp.concatenate([points, proj_infinity((pad,))], axis=0)
         n = points.shape[0]
     if n > fold:
         rows = points.reshape(n // fold, fold, 3, FP.nlimbs)
-        init = jacobian_infinity((fold,))
-        buf = lax.scan(lambda a, r: (jacobian_add(a, r), None), init, rows)[0]
+        init = proj_infinity((fold,))
+        buf = lax.scan(lambda a, r: (proj_add(a, r), None), init, rows)[0]
     else:
         buf = points
-    half_inf = jacobian_infinity((fold // 2,))
+    half_inf = proj_infinity((fold // 2,))
     levels = fold.bit_length() - 1  # log2(fold)
 
     def body(_, b):
-        s = jacobian_add(b[0::2], b[1::2])
+        s = proj_add(b[0::2], b[1::2])
         return jnp.concatenate([s, half_inf], axis=0)
 
     buf = lax.fori_loop(0, levels, body, buf)
     return buf[0]
+
+
+# Back-compat aliases for the Jacobian-era names (same complete semantics).
+jacobian_add = proj_add
+jacobian_double = proj_double
+jacobian_infinity = proj_infinity
+points_to_jacobian = points_to_proj
+jacobian_to_points = proj_to_points
 
 
 # ---------------------------------------------------------------------------

@@ -61,6 +61,10 @@ class FieldSpec:
         r = 1 << (BASE_BITS * nlimbs)
         # Full-width -N^-1 mod R for the column-parallel REDC quotient.
         self.nprime_limbs = int_to_limbs(nlimbs, (-pow(modulus, -1, r)) % r)
+        # Toeplitz int8 matrices for the two constant-operand column sums of
+        # REDC (x nprime mod R, and x N), so they run on the MXU.
+        self.nprime_mats = _toeplitz_mats(self.nprime_limbs, nlimbs)
+        self.mod_mats = _toeplitz_mats(self.mod_limbs, 2 * nlimbs)
         self.mont_r = r % modulus
         self.one_mont = int_to_limbs(nlimbs, r % modulus)  # mont(1)
         self.r2 = int_to_limbs(nlimbs, (r * r) % modulus)  # to-mont factor
@@ -324,6 +328,53 @@ def _mul_cols(a, b, nout: int):
     return _mul_cols_pad(a, b, nout)
 
 
+def _toeplitz_mats(const_limbs: np.ndarray, nout: int):
+    """Banded Toeplitz matrices for column sums against a CONSTANT operand:
+    ``B[i, j] = c[j - i]``, split into 6-bit lo/hi int8 pieces so the
+    product runs on the MXU as int8 x int8 -> int32 matmuls."""
+    c = np.asarray(const_limbs, dtype=np.int64)
+    k = c.shape[0]
+    rows = nout  # support inputs up to nout limbs
+    full = np.zeros((rows, nout), dtype=np.int64)
+    for i in range(rows):
+        w = min(k, nout - i)
+        if w > 0:
+            full[i, i : i + w] = c[:w]
+    lo = (full & 0x3F).astype(np.int8)
+    hi = (full >> 6).astype(np.int8)
+    return lo, hi
+
+
+def _mul_cols_const_mxu(x, mats, nout: int):
+    """Column sums ``out[j] = sum_i x[i] * c[j-i]`` with a constant c, as
+    four int8 MXU matmuls.  x digits must be <= 2^12 + 127 (canonical or
+    csave'd); the combined column bound stays < 2^31.
+    """
+    b_lo, b_hi = mats
+    nin = x.shape[-1]
+    xi = x.astype(jnp.int32)
+    x_lo = (xi & 0x7F).astype(jnp.int8)
+    x_hi = (xi >> 7).astype(jnp.int8)
+    blo = jnp.asarray(b_lo[:nin])
+    bhi = jnp.asarray(b_hi[:nin])
+
+    def mm(u, v):
+        return jax.lax.dot_general(
+            u,
+            v,
+            dimension_numbers=(((u.ndim - 1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        )
+
+    out = (
+        mm(x_lo, blo)
+        + (mm(x_lo, bhi) << 6)
+        + ((mm(x_hi, blo)) << 7)
+        + (mm(x_hi, bhi) << 13)
+    )
+    return out.astype(jnp.uint32)
+
+
 @partial(jax.jit, static_argnums=0)
 def mont_mul(spec: FieldSpec, a, b):
     """Montgomery product ``a * b * R^-1 mod N`` on canonical limb tensors.
@@ -343,12 +394,16 @@ def mont_mul(spec: FieldSpec, a, b):
     the result is < 1.2 N and a single cond-sub canonicalizes.
     """
     n = spec.nlimbs
-    mod = jnp.asarray(spec.mod_limbs)
-    nprime = jnp.asarray(spec.nprime_limbs)
     tcols = _mul_cols(a, b, 2 * n)  # < 2^31
     tlo = csave(tcols[..., :n], 2)  # digits <= 2^12 + 127
-    m = csave(_mul_cols(tlo, nprime, n), 2)
-    ucols = tcols + _mul_cols(m, mod, 2 * n)
+    if jax.default_backend() == "cpu":
+        m = csave(_mul_cols(tlo, jnp.asarray(spec.nprime_limbs), n), 2)
+        ucols = tcols + _mul_cols(m, jnp.asarray(spec.mod_limbs), 2 * n)
+    else:
+        # The two constant-operand column sums ride the MXU (int8 Toeplitz
+        # matmuls); only the a x b product and carries stay on the VPU.
+        m = csave(_mul_cols_const_mxu(tlo, spec.nprime_mats, n), 2)
+        ucols = tcols + _mul_cols_const_mxu(m, spec.mod_mats, 2 * n)
     full = normalize(ucols)  # low n limbs are exactly zero
     return cond_sub_mod(spec, full[..., n:])
 

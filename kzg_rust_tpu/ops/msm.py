@@ -80,6 +80,14 @@ def recode_signed_digits(scalars, n: int) -> np.ndarray:
     """
     buf = b"".join(int(s).to_bytes(32, "little") for s in scalars)
     by = np.frombuffer(buf, dtype=np.uint8).reshape(n, 32)
+    return recode_signed_digits_le_bytes(by)
+
+
+def recode_signed_digits_le_bytes(by: np.ndarray) -> np.ndarray:
+    """[n, 32] little-endian scalar bytes -> [64, n] int8 signed digits.
+    Byte-matrix entry point so bulk callers (blob ingestion) skip the
+    python-int round trip."""
+    n = by.shape[0]
     nib = np.zeros((n, NUM_WINDOWS), dtype=np.int16)
     nib[:, 0::2] = by & 0xF
     nib[:, 1::2] = by >> 4
@@ -94,6 +102,29 @@ def recode_signed_digits(scalars, n: int) -> np.ndarray:
     return np.ascontiguousarray(digits.T)  # [64, n]
 
 
+@jax.jit
+def recode_digits_from_limbs(limbs):
+    """[n, NLIMBS_FR] canonical Fr limbs -> [64, n] int32 signed base-16
+    digits, entirely on device (no host round trip between the quotient
+    kernel and the MSM).  Same recoding as ``recode_signed_digits``: 12-bit
+    limbs split into nibbles, then a 64-step carry scan; scalars are < r <
+    2^255 so the top nibble is <= 7 and the final carry is absorbed.
+    """
+    l = limbs.astype(jnp.int32)
+    nib = jnp.stack([l & 0xF, (l >> 4) & 0xF, (l >> 8) & 0xF], axis=-1)
+    nib = nib.reshape(l.shape[:-1] + (3 * l.shape[-1],))[..., :NUM_WINDOWS]
+
+    def step(carry, col):
+        d = col + carry
+        over = (d > 8).astype(jnp.int32)
+        return over, d - 16 * over
+
+    _, digits = lax.scan(
+        step, jnp.zeros(l.shape[:-1], jnp.int32), jnp.moveaxis(nib, -1, 0)
+    )
+    return digits  # [64, ...batch]
+
+
 def _msm_core(table, digits, fold: int):
     """table [64, 8, N, 3, l], digits [64, N] int32 -> one Jacobian point.
 
@@ -104,17 +135,24 @@ def _msm_core(table, digits, fold: int):
     unrolled log-depth ladder.
     """
     nwin, _, n = table.shape[:3]
-    mag = jnp.abs(digits)  # [64, N]
-    idx = jnp.maximum(mag - 1, 0)[:, None, :, None, None]
-    sel = jnp.take_along_axis(table, idx.astype(jnp.int32), axis=1)[:, 0]  # [64,N,3,l]
-    # digit == 0 -> infinity (Z = 0)
-    zmask = (mag == 0)[..., None]
-    z = jnp.where(zmask, jnp.zeros_like(sel[..., 2, :]), sel[..., 2, :])
-    # negative digit -> -P (negate Y)
-    y = jnp.where((digits < 0)[..., None], L.neg_mod(FP, sel[..., 1, :]), sel[..., 1, :])
-    pts = jnp.stack([sel[..., 0, :], y, z], axis=-2)
+    pts = select_window_points(table, digits)
     flat = pts.reshape(nwin * n, 3, pts.shape[-1])
     return C.fold_reduce(flat, fold)
+
+
+def select_window_points(table, digits):
+    """Gather the digit-selected multiple per (window, point) from a
+    ``[W, 8, N, 3, l]`` table: digit 0 -> projective infinity (0, Y, 0 -
+    both X and Z must be zeroed for the complete-add formulas; table Y is
+    never zero), negative digit -> negated Y.  Returns [W, N, 3, l]."""
+    mag = jnp.abs(digits)  # [W, N]
+    idx = jnp.maximum(mag - 1, 0)[:, None, :, None, None]
+    sel = jnp.take_along_axis(table, idx.astype(jnp.int32), axis=1)[:, 0]
+    zmask = (mag == 0)[..., None]
+    x = jnp.where(zmask, jnp.zeros_like(sel[..., 0, :]), sel[..., 0, :])
+    z = jnp.where(zmask, jnp.zeros_like(sel[..., 2, :]), sel[..., 2, :])
+    y = jnp.where((digits < 0)[..., None], L.neg_mod(FP, sel[..., 1, :]), sel[..., 1, :])
+    return jnp.stack([x, y, z], axis=-2)
 
 
 _msm_kernel = partial(jax.jit, static_argnums=2)(_msm_core)

@@ -98,3 +98,63 @@ def msm_fixed_base_sharded(ctx: ShardedMsmContext, scalars):
     digits = jax.device_put(jnp.asarray(digits, dtype=jnp.int32), dig_sharding)
     out = _sharded_msm_kernel(ctx.table, digits, ctx.fold, ctx.mesh)
     return C.jacobian_to_points(np.asarray(out)[None])[0]
+
+
+# ---------------------------------------------------------------------------
+# Blob-axis sharded batch verification (BASELINE configs 4-5)
+# ---------------------------------------------------------------------------
+
+BLOBS_AXIS = "blobs"
+
+
+def blobs_mesh(n_devices: int | None = None) -> Mesh:
+    """A 1-D mesh over the blob axis (batch-verification data parallelism).
+
+    The reference's batch loop is sequential host code (reference:
+    kzg.rs:671-683, "Potentially paralellizable"); here each device handles
+    a blob shard and the RLC partial sums ride one all_gather over ICI.
+    """
+    devs = jax.devices()
+    if n_devices is not None:
+        devs = devs[:n_devices]
+    return Mesh(np.array(devs), (BLOBS_AXIS,))
+
+
+@partial(jax.jit, static_argnums=(3, 4))
+def sharded_batch_core_kernel(
+    commitments, proofs, gen_table, n: int, mesh: Mesh, r_bits, rz_bits, y_digits
+):
+    """shard_map of :func:`ops.verify_kernels.batch_core_kernel` over the
+    blob axis: each device runs the full per-blob combination on its shard
+    (generator multiples, three ladders, local fold-reduce), the [2, 3, l]
+    partial sums are all_gathered, and a tiny replicated reduction finishes.
+    Point addition is associative, so the result is byte-identical to the
+    single-chip kernel."""
+    from jax.experimental.shard_map import shard_map
+
+    from ..ops import verify_kernels as V
+
+    d = mesh.devices.size
+
+    def local(c_shard, p_shard, gt, rb, rzb, yd):
+        part = V.batch_core(c_shard, p_shard, gt, n // d, rb, rzb, yd)
+        gathered = jax.lax.all_gather(part, BLOBS_AXIS)  # [D, 2, 3, l]
+        lhs = C.tree_reduce(gathered[:, 0])
+        rhs = C.tree_reduce(gathered[:, 1])
+        return jnp.stack([lhs, rhs], axis=0)
+
+    fn = shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(
+            P(BLOBS_AXIS, None, None),
+            P(BLOBS_AXIS, None, None),
+            P(None, None, None, None, None),
+            P(None, BLOBS_AXIS),
+            P(None, BLOBS_AXIS),
+            P(None, BLOBS_AXIS),
+        ),
+        out_specs=P(None, None),
+        check_rep=False,
+    )
+    return fn(commitments, proofs, gen_table, r_bits, rz_bits, y_digits)

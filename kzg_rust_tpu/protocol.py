@@ -41,6 +41,11 @@ def evaluate_polynomial_in_evaluation_form(
 
 def blob_to_kzg_commitment(settings: KzgSettings, blob: bytes, backend) -> KzgCommitment:
     """reference: kzg.rs:396-406."""
+    pipe = getattr(backend, "blob_to_commitment_pipeline", None)
+    if pipe is not None:
+        commitment = pipe(settings, blob)
+        if commitment is not NotImplemented:
+            return KzgCommitment(serde.bytes_from_g1(commitment))
     evals = blob_to_polynomial(settings, blob)
     commitment = backend.msm_g1_lagrange(settings, evals)
     return KzgCommitment(serde.bytes_from_g1(commitment))
@@ -69,6 +74,13 @@ def compute_kzg_proof(
     settings: KzgSettings, blob: bytes, z_bytes: bytes, backend
 ) -> tuple[KzgProof, Bytes32]:
     """reference: kzg.rs:446-457. Returns (proof, y)."""
+    pipe = getattr(backend, "compute_kzg_proof_pipeline", None)
+    if pipe is not None:
+        z = serde.bytes_to_bls_field(z_bytes)
+        out = pipe(settings, blob, z)
+        if out is not NotImplemented:
+            proof_pt, y = out
+            return KzgProof(serde.bytes_from_g1(proof_pt)), serde.bytes_from_bls_field(y)
     evals = blob_to_polynomial(settings, blob)
     z = serde.bytes_to_bls_field(z_bytes)
     proof, y = compute_kzg_proof_impl(settings, evals, z, backend)
@@ -81,6 +93,11 @@ def compute_blob_kzg_proof(
     """reference: kzg.rs:533-544."""
     # compute_challenge validates the commitment before hashing.
     challenge = serde.compute_challenge(settings.preset, blob, commitment_bytes)
+    pipe = getattr(backend, "compute_kzg_proof_pipeline", None)
+    if pipe is not None:
+        out = pipe(settings, blob, challenge)
+        if out is not NotImplemented:
+            return KzgProof(serde.bytes_from_g1(out[0]))
     evals = blob_to_polynomial(settings, blob)
     proof, _y = compute_kzg_proof_impl(settings, evals, challenge, backend)
     return proof
@@ -173,6 +190,13 @@ def verify_blob_kzg_proof_batch(
         return verify_blob_kzg_proof(
             settings, blobs[0], commitments_bytes[0], proofs_bytes[0], backend
         )
+
+    # Backends may own the whole batch (the jax backend fuses the per-blob
+    # loop below plus the lincombs of verify_kzg_proof_batch into batched
+    # device programs); semantics are identical.
+    pipeline = getattr(backend, "verify_blob_batch_pipeline", None)
+    if pipeline is not None:
+        return pipeline(settings, blobs, commitments_bytes, proofs_bytes)
 
     commitments, zs, ys, proofs = [], [], [], []
     for i in range(n):

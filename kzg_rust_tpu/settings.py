@@ -49,6 +49,92 @@ def is_trusted_setup_in_lagrange_form(g1_values, g2_values) -> None:
         raise BadArgs("is_trusted_setup_in_lagrange_form: not in lagrange form")
 
 
+def _setup_cache_path(g1_bytes: bytes, g2_bytes: bytes, preset: Preset):
+    import hashlib
+    import os
+
+    h = hashlib.sha256()
+    h.update(preset.name.encode())
+    h.update(g1_bytes)
+    h.update(g2_bytes)
+    d = os.path.join(
+        os.path.expanduser(os.environ.get("KZG_TPU_CACHE_DIR", "~/.cache/kzg_rust_tpu"))
+    )
+    return os.path.join(d, f"setup-{h.hexdigest()[:32]}.npz")
+
+
+def _points_from_cache(path):
+    """Load decompressed affine points from an npz bundle, or None."""
+    import numpy as np
+
+    try:
+        with np.load(path) as z:
+            g1x, g1y, g1inf = z["g1x"], z["g1y"], z["g1inf"]
+            g2c, g2inf = z["g2c"], z["g2inf"]
+    except (OSError, KeyError, ValueError):
+        return None
+    g1 = [
+        None
+        if g1inf[i]
+        else (int.from_bytes(g1x[i].tobytes(), "big"), int.from_bytes(g1y[i].tobytes(), "big"))
+        for i in range(g1x.shape[0])
+    ]
+    g2 = [
+        None
+        if g2inf[i]
+        else (
+            (
+                int.from_bytes(g2c[i, 0, 0].tobytes(), "big"),
+                int.from_bytes(g2c[i, 0, 1].tobytes(), "big"),
+            ),
+            (
+                int.from_bytes(g2c[i, 1, 0].tobytes(), "big"),
+                int.from_bytes(g2c[i, 1, 1].tobytes(), "big"),
+            ),
+        )
+        for i in range(g2c.shape[0])
+    ]
+    return g1, g2
+
+
+def _points_to_cache(path, g1_values, g2_values) -> None:
+    import os
+    import tempfile
+
+    import numpy as np
+
+    n1, n2 = len(g1_values), len(g2_values)
+    g1x = np.zeros((n1, 48), np.uint8)
+    g1y = np.zeros((n1, 48), np.uint8)
+    g1inf = np.zeros(n1, bool)
+    for i, p in enumerate(g1_values):
+        if p is None:
+            g1inf[i] = True
+        else:
+            g1x[i] = np.frombuffer(p[0].to_bytes(48, "big"), np.uint8)
+            g1y[i] = np.frombuffer(p[1].to_bytes(48, "big"), np.uint8)
+    g2c = np.zeros((n2, 2, 2, 48), np.uint8)
+    g2inf = np.zeros(n2, bool)
+    for i, p in enumerate(g2_values):
+        if p is None:
+            g2inf[i] = True
+        else:
+            for a in range(2):
+                for b in range(2):
+                    g2c[i, a, b] = np.frombuffer(p[a][b].to_bytes(48, "big"), np.uint8)
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    fd, tmp = tempfile.mkstemp(dir=os.path.dirname(path), suffix=".tmp")
+    try:
+        with os.fdopen(fd, "wb") as fh:
+            np.savez(fh, g1x=g1x, g1y=g1y, g1inf=g1inf, g2c=g2c, g2inf=g2inf)
+        os.replace(tmp, path)
+    except OSError:
+        try:
+            os.unlink(tmp)
+        except OSError:
+            pass
+
+
 def load_trusted_setup(
     g1_bytes: bytes,
     g2_bytes: bytes,
@@ -58,12 +144,36 @@ def load_trusted_setup(
 ) -> KzgSettings:
     """Core loader (reference: kzg.rs:833-899): uncompress all points
     (on-curve checked), verify Lagrange form via one pairing check, compute
-    bit-reversed roots of unity, bit-reverse the G1 points."""
+    bit-reversed roots of unity, bit-reverse the G1 points.
+
+    Decompressed points are cached on disk keyed by the input bytes (the
+    reference re-decompresses 4161 points on every load, kzg.rs:859-887;
+    here the second load of the same ceremony is a bulk array read and the
+    one-time validations - on-curve, Lagrange-form pairing - are skipped
+    because they held when the cache entry was written).  Disable by setting
+    ``KZG_TPU_CACHE_DIR`` to an empty string.
+    """
+    import os
+
     if n1 != preset.field_elements_per_blob or n2 != TRUSTED_SETUP_NUM_G2_POINTS:
         raise BadArgs("load_trusted_setup invalid params")
 
     max_scale = preset.max_scale
     max_width = 1 << max_scale
+
+    cache_path = None
+    if os.environ.get("KZG_TPU_CACHE_DIR", True):
+        cache_path = _setup_cache_path(g1_bytes, g2_bytes, preset)
+        cached = _points_from_cache(cache_path)
+        if cached is not None:
+            g1_cached, g2_cached = cached
+            return KzgSettings(
+                preset=preset,
+                max_width=max_width,
+                roots_of_unity=compute_roots_of_unity(max_scale),
+                g1_values=bit_reversal_permutation(g1_cached, n1),
+                g2_values=g2_cached,
+            )
 
     g1_values = []
     for i in range(n1):
@@ -83,6 +193,9 @@ def load_trusted_setup(
             raise BadArgs("load_trusted_setup invalid g2 bytes") from None
 
     is_trusted_setup_in_lagrange_form(g1_values, g2_values)
+
+    if cache_path is not None:
+        _points_to_cache(cache_path, g1_values, g2_values)
 
     roots_of_unity = compute_roots_of_unity(max_scale)
     g1_values = bit_reversal_permutation(g1_values, n1)

@@ -85,6 +85,13 @@ def compute_challenge(preset: Preset, blob: bytes, commitment_bytes: bytes) -> i
     *before* hashing (reference: kzg.rs:320-323).
     """
     bytes_to_kzg_commitment(commitment_bytes)  # raises on invalid commitment
+    return challenge_hash(preset, blob, commitment_bytes)
+
+
+def challenge_hash(preset: Preset, blob: bytes, commitment_bytes: bytes) -> int:
+    """The challenge hash alone, for callers that already validated the
+    commitment (the batched device pipeline validates all points in one
+    kernel before hashing)."""
     preimage = (
         FIAT_SHAMIR_PROTOCOL_DOMAIN
         + bytes_from_uint64(0)

@@ -47,3 +47,46 @@ def test_sharded_msm_matches_single_chip(sharded_ctx):
     sc = M.MsmContext.build_from_points(pts, fold=64)
     scalars = [rng.randrange(R) for _ in range(N_POINTS)]
     assert S.msm_fixed_base_sharded(ctx, scalars) == M.msm_fixed_base(sc, scalars)
+
+
+def test_sharded_batch_core_matches_golden():
+    """Blob-axis sharded RLC combination == golden naive lincombs
+    (the scale-out path of verify_blob_kzg_proof_batch)."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from kzg_rust_tpu.ops import curve as C
+    from kzg_rust_tpu.ops import msm as M
+    from kzg_rust_tpu.ops import verify_kernels as V
+
+    if len(jax.devices()) < 2:
+        pytest.skip("needs a multi-device mesh")
+    mesh = S.blobs_mesh()
+    d = mesh.devices.size
+    n = 2 * d
+    commitments = [gc.g1_mul(gc.G1_GENERATOR, rng.randrange(1, R)) for _ in range(n)]
+    proofs = [gc.g1_mul(gc.G1_GENERATOR, rng.randrange(1, R)) for _ in range(n)]
+    r_powers = [rng.randrange(R) for _ in range(n)]
+    r_times_z = [rng.randrange(R) for _ in range(n)]
+    ys = [rng.randrange(R) for _ in range(n)]
+
+    out = S.sharded_batch_core_kernel(
+        jnp.asarray(C.points_to_proj(commitments)),
+        jnp.asarray(C.points_to_proj(proofs)),
+        V.build_generator_table(),
+        n,
+        mesh,
+        jnp.asarray(V.scalars_to_bits(r_powers)),
+        jnp.asarray(V.scalars_to_bits(r_times_z)),
+        jnp.asarray(M.recode_signed_digits(ys, n), dtype=jnp.int32),
+    )
+    lhs, rhs = C.proj_to_points(np.asarray(out))
+
+    assert lhs == gc.g1_lincomb_naive(proofs, r_powers)
+    cmy = [
+        gc.g1_sub(commitments[i], gc.g1_mul(gc.G1_GENERATOR, ys[i]))
+        for i in range(n)
+    ]
+    assert rhs == gc.g1_add(
+        gc.g1_lincomb_naive(cmy, r_powers), gc.g1_lincomb_naive(proofs, r_times_z)
+    )
