@@ -62,8 +62,9 @@ class JaxBackend(GoldenBackend):
         self._subgroup_check_batch(points)
         commitments, proofs = points[:n], points[n:]
 
-        # 2. Blob ingestion: bytes -> [n, fe, limbs] + canonicality check.
-        evals_limbs = self._blobs_to_limbs_checked(settings, blobs)
+        # 2. Blob ingestion: raw bytes to device (3x smaller than limbs;
+        #    conversion + canonicality happen inside the barycentric kernel).
+        blob_dev = self._blob_bytes_dev(settings, blobs)
 
         # 3. Fiat-Shamir challenges (host SHA-256; commitments validated).
         zs = [
@@ -71,8 +72,8 @@ class JaxBackend(GoldenBackend):
             for i in range(n)
         ]
 
-        # 4. Batched barycentric evaluation, with the in-domain
-        #    short-circuit handled on host (reference: kzg.rs:360-362).
+        # 4. Batched barycentric evaluation (fused with ingest/check), with
+        #    the in-domain short-circuit handled on host (kzg.rs:360-362).
         root_index = self._root_index(settings)
         xs_eval = list(zs)
         overrides = {}
@@ -82,7 +83,7 @@ class JaxBackend(GoldenBackend):
                 chunk = bytes(blobs[i])[m * 32 : (m + 1) * 32]
                 overrides[i] = serde.bytes_to_bls_field(chunk)
                 xs_eval[i] = 0  # any out-of-domain dummy; result discarded
-        ys = self._barycentric_batch(settings, evals_limbs, xs_eval)
+        ys = self._barycentric_batch(settings, blob_dev, xs_eval)
         for i, y in overrides.items():
             ys[i] = y
 
@@ -127,14 +128,11 @@ class JaxBackend(GoldenBackend):
         if not bool(ok.all()):
             raise BadArgs("validate_kzg_g1 not in right subgroup")
 
-    def _blobs_to_limbs_checked(self, settings, blobs) -> np.ndarray:
-        """bytes -> [n_blobs, fe, nlimbs] canonical Fr limbs; rejects any
-        field element >= r (reference: bytes_to_bls_field, utils.rs:262-275).
-        """
+    def _blob_bytes_dev(self, settings, blobs):
+        """Blob bytes -> device uint8 [n_blobs, fe, 32] (BE field elements).
+        Length-validates on host; canonicality is checked on device inside
+        the consuming kernel."""
         import jax.numpy as jnp
-
-        from ..ops import limbs as L
-        from ..ops.fields import FR
 
         fe = settings.preset.field_elements_per_blob
         nb = len(blobs)
@@ -142,18 +140,10 @@ class JaxBackend(GoldenBackend):
             if len(b) != settings.preset.bytes_per_blob:
                 raise BadArgs("blob_to_polynomial: invalid blob length")
         buf = b"".join(bytes(b) for b in blobs)
-        a = np.frombuffer(buf, dtype=np.uint8).reshape(nb * fe, 32)
-        le = np.ascontiguousarray(a[:, ::-1])
-        limbs = L.bytes_le_to_limbs(FR.nlimbs, le)
-        mod = np.asarray(FR.mod_limbs)
-        ok = np.asarray(
-            ~L.geq_const(FR, jnp.asarray(limbs), jnp.asarray(mod))
-        )
-        if not bool(ok.all()):
-            raise BadArgs("bytes_to_bls_field Invalid Bytes32")
-        return limbs.reshape(nb, fe, FR.nlimbs)
+        a = np.frombuffer(buf, dtype=np.uint8).reshape(nb, fe, 32)
+        return jnp.asarray(a)
 
-    def _barycentric_batch(self, settings, evals_limbs: np.ndarray, xs) -> list[int]:
+    def _barycentric_batch(self, settings, blob_dev, xs) -> list[int]:
         import jax.numpy as jnp
 
         from ..ops import limbs as L
@@ -161,21 +151,23 @@ class JaxBackend(GoldenBackend):
         from ..ops.fields import FR
 
         ctx = self._fr_ctx(settings)
-        nb = evals_limbs.shape[0]
+        nb = blob_dev.shape[0]
         npad = _pow2_pad(nb, lo=4)
         if npad != nb:
-            evals_limbs = np.concatenate(
-                [evals_limbs, np.zeros((npad - nb,) + evals_limbs.shape[1:], np.uint32)]
-            )
+            pad = jnp.zeros((npad - nb,) + blob_dev.shape[1:], jnp.uint8)
+            blob_dev = jnp.concatenate([blob_dev, pad])
         xs_arr = L.ints_to_limbs(FR.nlimbs, list(xs) + [0] * (npad - nb))
-        out = V.bary_batch_kernel(
+        ys, ok = V.bary_batch_from_bytes_kernel(
             ctx.n,
             ctx.roots_m,
             ctx.inv_n_m,
-            jnp.asarray(evals_limbs),
+            blob_dev,
             jnp.asarray(xs_arr),
         )
-        return L.limbs_to_ints(np.asarray(out)[:nb])
+        ys_host = np.asarray(ys)
+        if not bool(np.asarray(ok)):
+            raise BadArgs("bytes_to_bls_field Invalid Bytes32")
+        return L.limbs_to_ints(ys_host[:nb])
 
     # -- fused prover pipelines (one device dispatch per op) -------------------
 
@@ -192,9 +184,12 @@ class JaxBackend(GoldenBackend):
         ctx = self._msm_ctx(settings)
         if ctx is None:
             return NotImplemented
-        evals = self._blobs_to_limbs_checked(settings, [blob])[0]
-        out = PR.commit_kernel(ctx.table, jnp.asarray(evals), ctx.fold)
-        return C.proj_to_points(np.asarray(out)[None], mont=False)[0]
+        blob_dev = self._blob_bytes_dev(settings, [blob])[0]
+        out, ok = PR.commit_kernel(ctx.table, blob_dev, ctx.fold)
+        out_host = np.asarray(out)
+        if not bool(np.asarray(ok)):
+            raise BadArgs("bytes_to_bls_field Invalid Bytes32")
+        return C.proj_to_points(out_host[None], mont=False)[0]
 
     def compute_kzg_proof_pipeline(self, settings, blob, z: int):
         """Single-dispatch ``compute_kzg_proof_impl`` (reference:
@@ -211,18 +206,22 @@ class JaxBackend(GoldenBackend):
         if ctx is None:
             return NotImplemented
         fr = self._fr_ctx(settings)
-        evals = self._blobs_to_limbs_checked(settings, [blob])[0]
-        proof, y = PR.proof_kernel(
+        blob_dev = self._blob_bytes_dev(settings, [blob])[0]
+        proof, y, ok = PR.proof_kernel(
             fr.n,
             fr.roots_m,
             fr.inv_n_m,
             ctx.table,
-            jnp.asarray(evals),
+            blob_dev,
             jnp.asarray(L.int_to_limbs(FR.nlimbs, z)),
             ctx.fold,
         )
-        proof_pt = C.proj_to_points(np.asarray(proof)[None], mont=False)[0]
-        return proof_pt, L.limbs_to_int(np.asarray(y))
+        proof_host = np.asarray(proof)
+        y_host = np.asarray(y)
+        if not bool(np.asarray(ok)):
+            raise BadArgs("bytes_to_bls_field Invalid Bytes32")
+        proof_pt = C.proj_to_points(proof_host[None], mont=False)[0]
+        return proof_pt, L.limbs_to_int(y_host)
 
     def _root_index(self, settings) -> dict:
         key = ("roots_idx", id(settings))

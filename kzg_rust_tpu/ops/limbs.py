@@ -271,6 +271,14 @@ def select(mask, a, b):
     return jnp.where(mask[..., None], a, b)
 
 
+@partial(jax.jit, static_argnums=0)
+def geq_mod(spec: FieldSpec, a) -> jnp.ndarray:
+    """a >= modulus (canonical limb vectors); returns bool [...]."""
+    bound = jnp.broadcast_to(jnp.asarray(spec.mod_limbs), a.shape)
+    _, borrow = raw_sub(a, bound)
+    return borrow == 0
+
+
 def geq_const(spec: FieldSpec, a, bound_limbs) -> jnp.ndarray:
     """a >= bound (both canonical limb vectors); returns bool [...]."""
     bound = jnp.broadcast_to(jnp.asarray(bound_limbs), a.shape)

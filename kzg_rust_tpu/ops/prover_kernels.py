@@ -32,24 +32,35 @@ def _from_mont_point(pt):
 
 
 @partial(jax.jit, static_argnums=2)
-def commit_kernel(table, evals_limbs, fold: int):
-    """Canonical eval limbs [n, l] -> commitment point [3, l] (canonical,
-    projective).  recode -> gather -> fold-reduce, one program
-    (reference: kzg.rs:396-406 + utils.rs:367-410)."""
+def commit_kernel(table, blob_bytes, fold: int):
+    """Blob bytes [n, 32] uint8 BE -> (commitment point [3, l] canonical
+    projective, ok flag).  ingest -> check -> recode -> gather ->
+    fold-reduce, one program (reference: kzg.rs:396-406 + utils.rs:367-410).
+    ``ok`` is False iff any field element is non-canonical (result garbage).
+    """
+    from .verify_kernels import blob_bytes_to_limbs
+
+    evals_limbs = blob_bytes_to_limbs(blob_bytes)
+    ok = ~jnp.any(L.geq_mod(FR, evals_limbs))
     digits = M.recode_digits_from_limbs(evals_limbs)
-    return _from_mont_point(M._msm_core(table, digits, fold))
+    return _from_mont_point(M._msm_core(table, digits, fold)), ok
 
 
 @partial(jax.jit, static_argnums=(0, 6))
-def proof_kernel(n: int, roots_m, inv_n_m, table, evals, z, fold: int):
+def proof_kernel(n: int, roots_m, inv_n_m, table, blob_bytes, z, fold: int):
     """The whole ``compute_kzg_proof_impl`` (reference: kzg.rs:461-528) as
-    one program: in-domain detection, y evaluation, quotient construction
-    (both cases via ``lax.cond`` - only one branch executes), digit
-    recoding, and the proof MSM.
+    one program: blob ingestion + canonicality, in-domain detection, y
+    evaluation, quotient construction (both cases via ``lax.cond`` - only
+    one branch executes), digit recoding, and the proof MSM.
 
-    evals [n, l] / z [l] canonical Fr limbs.  Returns (proof [3, l], y [l])
-    both canonical (non-Montgomery).
+    blob_bytes [n, 32] uint8 BE / z [l] canonical Fr limbs.  Returns
+    (proof [3, l], y [l], ok) - proof/y canonical (non-Montgomery), garbage
+    when ``ok`` is False (non-canonical blob element).
     """
+    from .verify_kernels import blob_bytes_to_limbs
+
+    evals = blob_bytes_to_limbs(blob_bytes)
+    ok = ~jnp.any(L.geq_mod(FR, evals))
     mul = lambda u, v: L.mont_mul(FR, u, v)
     e_m = L.to_mont(FR, evals)
     z_m = L.to_mont(FR, z)
@@ -100,4 +111,4 @@ def proof_kernel(n: int, roots_m, inv_n_m, table, evals, z, fold: int):
     q = L.from_mont(FR, q_m)
     digits = M.recode_digits_from_limbs(q)
     proof = _from_mont_point(M._msm_core(table, digits, fold))
-    return proof, L.from_mont(FR, y_m)
+    return proof, L.from_mont(FR, y_m), ok

@@ -164,6 +164,30 @@ def _fold_for(n: int) -> int:
 # ---------------------------------------------------------------------------
 
 
+def blob_bytes_to_limbs(by):
+    """[..., 32] big-endian uint8 field elements -> [..., NLIMBS_FR] limbs,
+    on device (the host uploads raw blob bytes - 3x smaller than limbs)."""
+    le = by[..., ::-1]
+    flat = le.reshape((-1, 32))
+    limbs = L.bytes_le_to_limbs(FR.nlimbs, flat)
+    return limbs.reshape(by.shape[:-1] + (FR.nlimbs,))
+
+
+@partial(jax.jit, static_argnums=0)
+def bary_batch_from_bytes_kernel(n: int, roots_m, inv_n_m, blob_bytes, xs):
+    """Fused ingest + canonicality check + batched barycentric evaluation:
+    blob_bytes [B, n, 32] uint8 BE -> (ys [B, l], ok scalar bool).
+
+    ``ok`` is False iff any field element is >= r (reference rejects such
+    blobs, utils.rs:262-275); the ys are garbage in that case and callers
+    must raise.  One dispatch, one fetch.
+    """
+    evals = blob_bytes_to_limbs(blob_bytes)
+    ok = ~jnp.any(L.geq_mod(FR, evals))
+    ys = bary_batch_kernel(n, roots_m, inv_n_m, evals, xs)
+    return ys, ok
+
+
 @partial(jax.jit, static_argnums=0)
 def bary_batch_kernel(n: int, roots_m, inv_n_m, evals, xs):
     """Vectorized over the blob axis: evals [B, n, l] canonical, xs [B, l]

@@ -101,6 +101,78 @@ def msm_fixed_base_sharded(ctx: ShardedMsmContext, scalars):
 
 
 # ---------------------------------------------------------------------------
+# Domain-axis sharded barycentric evaluation (sequence-parallel analog)
+# ---------------------------------------------------------------------------
+
+DOMAIN_AXIS = "domain"
+
+
+def domain_mesh(n_devices: int | None = None) -> Mesh:
+    """A 1-D mesh over the FIELD_ELEMENTS_PER_BLOB evaluation-domain axis
+    (SURVEY.md section 5 long-context analog: the reference's 4096-element
+    loops, kzg.rs:353-378, sharded instead of sequential)."""
+    devs = jax.devices()
+    if n_devices is not None:
+        devs = devs[:n_devices]
+    return Mesh(np.array(devs), (DOMAIN_AXIS,))
+
+
+@partial(jax.jit, static_argnums=(3, 4))
+def sharded_bary_kernel(roots_m, evals, xs, n: int, mesh: Mesh):
+    """Barycentric evaluation with the domain axis sharded across devices.
+
+    Each device computes its local partial sum of ``e_i * w_i / (x - w_i)``
+    (with a per-shard batched inversion), the Fr partials are all_gathered
+    and tree-reduced with modular adds, and the replicated tail applies the
+    ``(x^n - 1)/n`` scaling.  evals [B, n, l], xs [B, l] canonical; ys
+    [B, l] canonical, bit-identical to the single-chip kernel.
+    """
+    from jax.experimental.shard_map import shard_map
+
+    from ..ops import limbs as L
+    from ..ops import protocol_kernels as PK
+    from ..ops.fields import FR
+
+    inv_n_m = jnp.asarray(
+        L.int_to_limbs(
+            FR.nlimbs, (pow(n, -1, FR.modulus) * FR.mont_r) % FR.modulus
+        )
+    )
+
+    def local(roots_sh, evals_sh, x):
+        mul = lambda u, v: L.mont_mul(FR, u, v)
+        e_m = L.to_mont(FR, evals_sh)  # [B, n/D, l]
+        x_m = L.to_mont(FR, x)  # [B, l]
+        d = L.sub_mod(FR, x_m[:, None, :], jnp.broadcast_to(roots_sh, e_m.shape))
+        inv = L.batch_mont_inv(FR, d, axis=1)
+        terms = mul(mul(inv, roots_sh), e_m)
+        t = terms
+        while t.shape[1] > 1:
+            half = t.shape[1] // 2
+            t = L.add_mod(FR, t[:, :half], t[:, half:])
+        part = t[:, 0]  # [B, l] local partial sum
+        parts = jax.lax.all_gather(part, DOMAIN_AXIS)  # [D, B, l]
+        s = parts
+        while s.shape[0] > 1:
+            half = s.shape[0] // 2
+            s = L.add_mod(FR, s[:half], s[half:])
+        s = mul(s[0], inv_n_m)
+        xn = L.mont_pow_const(FR, x_m, n)
+        one_m = jnp.asarray(FR.one_mont)
+        s = mul(s, L.sub_mod(FR, xn, one_m))
+        return L.from_mont(FR, s)
+
+    fn = shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P(DOMAIN_AXIS, None), P(None, DOMAIN_AXIS, None), P(None, None)),
+        out_specs=P(None, None),
+        check_rep=False,
+    )
+    return fn(roots_m, evals, xs)
+
+
+# ---------------------------------------------------------------------------
 # Blob-axis sharded batch verification (BASELINE configs 4-5)
 # ---------------------------------------------------------------------------
 

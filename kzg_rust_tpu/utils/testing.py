@@ -44,3 +44,31 @@ def make_insecure_setup(preset: Preset, tau: int = 0x5EC2E7) -> KzgSettings:
         g1_values=g1_values,
         g2_values=g2_values,
     )
+
+
+def write_insecure_setup_file(path, preset: Preset, tau: int = 0x5EC2E7) -> None:
+    """Write a ceremony-format text setup file (reference layout:
+    kzg.rs:906-979 - counts, then G1 hex lines, then 65 monomial G2 hex
+    lines) for ``preset`` with known secret ``tau``.  Loadable through the
+    standard ``load_trusted_setup_file`` path, validation included."""
+    from ..presets import TRUSTED_SETUP_NUM_G2_POINTS
+
+    settings = make_insecure_setup(preset, tau)
+    # Undo the bit-reversal for the on-disk G1 order (the loader re-applies
+    # it, reference: kzg.rs:895-896).
+    from ..utils.domain import reverse_bits
+
+    n = preset.field_elements_per_blob
+    g1_disk = [None] * n
+    for i in range(n):
+        g1_disk[reverse_bits(i, n)] = settings.g1_values[i]
+    g2_disk = [
+        gc.g2_mul(gc.G2_GENERATOR, pow(tau, j, R))
+        for j in range(TRUSTED_SETUP_NUM_G2_POINTS)
+    ]
+    with open(path, "w") as fh:
+        fh.write(f"{n}\n{TRUSTED_SETUP_NUM_G2_POINTS}\n")
+        for p in g1_disk:
+            fh.write(gc.g1_compress(p).hex() + "\n")
+        for p in g2_disk:
+            fh.write(gc.g2_compress(p).hex() + "\n")

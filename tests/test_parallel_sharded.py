@@ -49,6 +49,47 @@ def test_sharded_msm_matches_single_chip(sharded_ctx):
     assert S.msm_fixed_base_sharded(ctx, scalars) == M.msm_fixed_base(sc, scalars)
 
 
+def test_sharded_barycentric_matches_golden():
+    """Domain-axis sharded barycentric == golden scalar evaluation."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from kzg_rust_tpu.backends.golden_backend import GoldenBackend
+    from kzg_rust_tpu.ops import limbs as L
+    from kzg_rust_tpu.ops.fields import FR
+    from kzg_rust_tpu.presets import Preset
+    from kzg_rust_tpu.settings import KzgSettings
+    from kzg_rust_tpu.utils.domain import compute_roots_of_unity
+
+    if len(jax.devices()) < 2:
+        pytest.skip("needs a multi-device mesh")
+    mesh = S.domain_mesh()
+    scale = 6  # 64-wide domain, divisible by the 8-device mesh
+    n = 1 << scale
+    roots = compute_roots_of_unity(scale)
+    settings = KzgSettings(
+        preset=Preset(name="t64", field_elements_per_blob=n),
+        max_width=n,
+        roots_of_unity=roots,
+        g1_values=[],
+        g2_values=[],
+    )
+    golden = GoldenBackend()
+    b = 2
+    evals = [[rng.randrange(R) for _ in range(n)] for _ in range(b)]
+    xs = [rng.randrange(R) for _ in range(b)]
+
+    rr = FR.mont_r
+    roots_m = jnp.asarray(L.ints_to_limbs(FR.nlimbs, [(w * rr) % R for w in roots]))
+    evals_arr = jnp.asarray(
+        np.stack([L.ints_to_limbs(FR.nlimbs, e) for e in evals])
+    )
+    xs_arr = jnp.asarray(L.ints_to_limbs(FR.nlimbs, xs))
+    got = L.limbs_to_ints(np.asarray(S.sharded_bary_kernel(roots_m, evals_arr, xs_arr, n, mesh)))
+    want = [golden.barycentric_eval(settings, evals[i], xs[i]) for i in range(b)]
+    assert got == want
+
+
 def test_sharded_batch_core_matches_golden():
     """Blob-axis sharded RLC combination == golden naive lincombs
     (the scale-out path of verify_blob_kzg_proof_batch)."""
