@@ -55,25 +55,25 @@ class JaxBackend(GoldenBackend):
         n = len(blobs)
         preset = settings.preset
 
-        # 1. Parse every commitment/proof (on-curve + flag validation on
-        #    host), then one batched device subgroup check for all of them.
+        # 1. Parse every commitment/proof on host (on-curve + flag
+        #    validation); batched subgroup checks happen on device below.
         points = [gcurve.g1_uncompress(bytes(b)) for b in commitments_bytes]
         points += [gcurve.g1_uncompress(bytes(b)) for b in proofs_bytes]
-        self._subgroup_check_batch(points)
         commitments, proofs = points[:n], points[n:]
 
         # 2. Blob ingestion: raw bytes to device (3x smaller than limbs;
-        #    conversion + canonicality happen inside the barycentric kernel).
+        #    conversion + canonicality happen inside the device kernel).
         blob_dev = self._blob_bytes_dev(settings, blobs)
 
-        # 3. Fiat-Shamir challenges (host SHA-256; commitments validated).
+        # 3. Fiat-Shamir challenges (host SHA-256).
         zs = [
             serde.challenge_hash(preset, bytes(blobs[i]), bytes(commitments_bytes[i]))
             for i in range(n)
         ]
 
-        # 4. Batched barycentric evaluation (fused with ingest/check), with
-        #    the in-domain short-circuit handled on host (kzg.rs:360-362).
+        # 4. ONE device dispatch for subgroup checks + batched barycentric
+        #    evaluation (fused ingest/check), one packed fetch.  The
+        #    in-domain short-circuit is handled on host (kzg.rs:360-362).
         root_index = self._root_index(settings)
         xs_eval = list(zs)
         overrides = {}
@@ -83,7 +83,7 @@ class JaxBackend(GoldenBackend):
                 chunk = bytes(blobs[i])[m * 32 : (m + 1) * 32]
                 overrides[i] = serde.bytes_to_bls_field(chunk)
                 xs_eval[i] = 0  # any out-of-domain dummy; result discarded
-        ys = self._barycentric_batch(settings, blob_dev, xs_eval)
+        ys = self._prepare_batch(settings, points, blob_dev, xs_eval)
         for i, y in overrides.items():
             ys[i] = y
 
@@ -127,6 +127,37 @@ class JaxBackend(GoldenBackend):
         ok = np.asarray(V.subgroup_check_kernel(jnp.asarray(arr)))
         if not bool(ok.all()):
             raise BadArgs("validate_kzg_g1 not in right subgroup")
+
+    def _prepare_batch(self, settings, points, blob_dev, xs) -> list[int]:
+        """Subgroup checks + batched barycentric in one dispatch/fetch;
+        raises on the first invalid input, returns the ys as ints."""
+        import jax.numpy as jnp
+
+        from ..ops import curve as C
+        from ..ops import limbs as L
+        from ..ops import verify_kernels as V
+        from ..ops.fields import FR
+
+        ctx = self._fr_ctx(settings)
+        ppad = _pow2_pad(len(points), lo=8)
+        parr = jnp.asarray(C.points_to_proj(points + [None] * (ppad - len(points))))
+        nb = blob_dev.shape[0]
+        npad = _pow2_pad(nb, lo=4)
+        if npad != nb:
+            pad = jnp.zeros((npad - nb,) + blob_dev.shape[1:], jnp.uint8)
+            blob_dev = jnp.concatenate([blob_dev, pad])
+        xs_arr = L.ints_to_limbs(FR.nlimbs, list(xs) + [0] * (npad - nb))
+        packed = np.asarray(
+            V.batch_prepare_kernel(
+                ctx.n, ctx.roots_m, ctx.inv_n_m, parr, blob_dev, jnp.asarray(xs_arr)
+            )
+        )
+        flags = packed[-1]
+        if not bool(flags[0]):
+            raise BadArgs("validate_kzg_g1 not in right subgroup")
+        if not bool(flags[1]):
+            raise BadArgs("bytes_to_bls_field Invalid Bytes32")
+        return L.limbs_to_ints(packed[:nb])
 
     def _blob_bytes_dev(self, settings, blobs):
         """Blob bytes -> device uint8 [n_blobs, fe, 32] (BE field elements).

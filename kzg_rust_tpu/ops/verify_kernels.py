@@ -69,9 +69,8 @@ def _dbl_add_ladder(points, bits):
 # ---------------------------------------------------------------------------
 
 
-@jax.jit
-def subgroup_check_kernel(points):
-    """[n, 3, l] Jacobian Montgomery points (already on-curve) -> bool [n].
+def _subgroup_check(points):
+    """[n, 3, l] projective Montgomery points (already on-curve) -> bool [n].
 
     phi(P) == -[z^2]P with phi((X, Y, Z)) = (beta X, Y, Z); the comparison
     cross-multiplies so no inversion is needed.  Infinity passes (matching
@@ -97,6 +96,27 @@ def subgroup_check_kernel(points):
     inf_b = L.is_zero(z2)
     both = eq_x & eq_y & ~inf_a & ~inf_b
     return both | (inf_a & inf_b)
+
+
+subgroup_check_kernel = jax.jit(_subgroup_check)
+
+
+@partial(jax.jit, static_argnums=0)
+def batch_prepare_kernel(n: int, roots_m, inv_n_m, points, blob_bytes, xs):
+    """Stage 1+2 of batch verification in ONE dispatch: subgroup-check all
+    parsed points AND run the fused ingest+barycentric over all blobs.
+
+    Returns a single packed [B+1, l] array (one fetch on the tunneled
+    device): rows 0..B-1 are the ys, row B carries the two validity flags in
+    its first limbs (limb 0 = all points in subgroup, limb 1 = all blob
+    field elements canonical).
+    """
+    ok_sub = jnp.all(_subgroup_check(points))
+    ys, ok_blob = bary_batch_from_bytes_kernel(n, roots_m, inv_n_m, blob_bytes, xs)
+    flags = jnp.zeros((1, ys.shape[-1]), jnp.uint32)
+    flags = flags.at[0, 0].set(ok_sub.astype(jnp.uint32))
+    flags = flags.at[0, 1].set(ok_blob.astype(jnp.uint32))
+    return jnp.concatenate([ys, flags], axis=0)
 
 
 # ---------------------------------------------------------------------------
