@@ -1,8 +1,14 @@
-"""Pure-Python golden backend: the slow, trivially-correct oracle."""
+"""Host backend: golden-model orchestration with native-crypto dispatch.
+
+Group operations route through :mod:`kzg_rust_tpu.hostcrypto` — the native
+C++ runtime when present, the pure-Python golden model otherwise (both are
+bit-identical; set ``KZG_TPU_NATIVE=0`` to force pure Python).
+"""
 
 from __future__ import annotations
 
-from ..golden import curve, pairing
+from .. import hostcrypto
+from ..golden import curve
 from ..golden.field import (
     R,
     fr_batch_inv,
@@ -68,22 +74,22 @@ class GoldenBackend:
 
     def g1_lincomb(self, points, scalars):
         """Runtime-base lincomb (reference: g1_lincomb_naive, utils.rs:329)."""
-        return curve.g1_lincomb_naive(points, scalars)
+        return hostcrypto.g1_lincomb_naive(points, scalars)
 
     def g1_mul(self, p, k):
-        return curve.g1_mul(p, k)
+        return hostcrypto.g1_mul(p, k)
 
     def g1_sub(self, p, q):
-        return curve.g1_sub(p, q)
+        return hostcrypto.g1_sub(p, q)
 
     def g1_add(self, p, q):
-        return curve.g1_add(p, q)
+        return hostcrypto.g1_add(p, q)
 
     def g2_mul(self, p, k):
-        return curve.g2_mul(p, k)
+        return hostcrypto.g2_mul(p, k)
 
     def g2_sub(self, p, q):
-        return curve.g2_sub(p, q)
+        return hostcrypto.g2_sub(p, q)
 
     def pairings_verify(self, a1, a2, b1, b2) -> bool:
-        return pairing.pairings_verify(a1, a2, b1, b2)
+        return hostcrypto.pairings_verify(a1, a2, b1, b2)

@@ -14,8 +14,11 @@ identities through every kernel).
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 
+from .. import hostcrypto
 from ..errors import BadArgs
 from .golden_backend import GoldenBackend
 
@@ -55,15 +58,34 @@ class JaxBackend(GoldenBackend):
         n = len(blobs)
         preset = settings.preset
 
+        # Evaluation placement: the per-blob barycentric work runs either on
+        # device (one fused kernel; the right choice when the host<->device
+        # link is fast) or on the native host runtime (the right choice when
+        # the link is the bottleneck - e.g. a tunneled device - since the
+        # blob bytes then never cross it).  "auto" prefers the native host
+        # path when the native runtime is present.
+        mode = os.environ.get("KZG_TPU_EVAL", "auto")
+        bary_native = None
+        if mode != "device":
+            bary_native = self._bary_native_ctx(settings)
+            if bary_native is None and mode == "host":
+                raise RuntimeError("KZG_TPU_EVAL=host but native runtime unavailable")
+
         # 1. Parse every commitment/proof on host (on-curve + flag
-        #    validation); batched subgroup checks happen on device below.
-        points = [gcurve.g1_uncompress(bytes(b)) for b in commitments_bytes]
-        points += [gcurve.g1_uncompress(bytes(b)) for b in proofs_bytes]
+        #    validation, parallel in the native runtime).
+        points = hostcrypto.g1_uncompress_batch(
+            [bytes(b) for b in commitments_bytes] + [bytes(b) for b in proofs_bytes]
+        )
         commitments, proofs = points[:n], points[n:]
 
-        # 2. Blob ingestion: raw bytes to device (3x smaller than limbs;
-        #    conversion + canonicality happen inside the device kernel).
-        blob_dev = self._blob_bytes_dev(settings, blobs)
+        for b in blobs:
+            if len(b) != preset.bytes_per_blob:
+                raise BadArgs("blob_to_polynomial: invalid blob length")
+
+        # 2. Blob ingestion (device path only): raw bytes to device, async.
+        blob_dev = None
+        if bary_native is None:
+            blob_dev = self._blob_bytes_dev(settings, blobs)
 
         # 3. Fiat-Shamir challenges (host SHA-256).
         zs = [
@@ -71,8 +93,7 @@ class JaxBackend(GoldenBackend):
             for i in range(n)
         ]
 
-        # 4. ONE device dispatch for subgroup checks + batched barycentric
-        #    evaluation (fused ingest/check), one packed fetch.  The
+        # 4. Subgroup checks + batched barycentric evaluation.  The
         #    in-domain short-circuit is handled on host (kzg.rs:360-362).
         root_index = self._root_index(settings)
         xs_eval = list(zs)
@@ -83,7 +104,16 @@ class JaxBackend(GoldenBackend):
                 chunk = bytes(blobs[i])[m * 32 : (m + 1) * 32]
                 overrides[i] = serde.bytes_to_bls_field(chunk)
                 xs_eval[i] = 0  # any out-of-domain dummy; result discarded
-        ys = self._prepare_batch(settings, points, blob_dev, xs_eval)
+        if bary_native is not None:
+            if not hostcrypto.g1_subgroup_batch(points):
+                raise BadArgs("validate_kzg_g1 not in right subgroup")
+            ys = bary_native.eval_batch(
+                b"".join(bytes(b) for b in blobs), n, xs_eval
+            )
+        else:
+            # ONE device dispatch for subgroup checks + barycentric (fused
+            # ingest/check), one packed fetch.
+            ys = self._prepare_batch(settings, points, blob_dev, xs_eval)
         for i, y in overrides.items():
             ys[i] = y
 
@@ -93,7 +123,27 @@ class JaxBackend(GoldenBackend):
         )
         r_times_z = [(r_powers[i] * zs[i]) % R for i in range(n)]
 
-        # 6. The whole combination on device -> two pairing inputs.
+        # 6. The RLC combination -> two pairing inputs.  Host mode keeps it
+        #    on the native runtime (the device dispatch+fetch would cost a
+        #    full link round-trip); the reference's own structure — naive
+        #    lincombs by design (utils.rs:349-356) — with Σ rⁱ(Cᵢ − yᵢG)
+        #    folded as Σ rⁱCᵢ − (Σ rⁱyᵢ)·G (kzg.rs:601-621, same element).
+        if bary_native is not None:
+            proof_lincomb = hostcrypto.g1_lincomb_naive(proofs, r_powers)
+            ry = 0
+            for rp, y in zip(r_powers, ys):
+                ry += rp * y
+            c_minus_y = hostcrypto.g1_sub(
+                hostcrypto.g1_lincomb_naive(commitments, r_powers),
+                hostcrypto.g1_mul(gcurve.G1_GENERATOR, ry % R),
+            )
+            rhs_g1 = hostcrypto.g1_add(
+                c_minus_y, hostcrypto.g1_lincomb_naive(proofs, r_times_z)
+            )
+            return self.pairings_verify(
+                proof_lincomb, settings.g2_values[1], rhs_g1, gcurve.G2_GENERATOR
+            )
+
         npad = _pow2_pad(n, lo=4)
         pad = npad - n
         cpts = C.points_to_proj(commitments + [None] * pad)
@@ -258,6 +308,13 @@ class JaxBackend(GoldenBackend):
         key = ("roots_idx", id(settings))
         if key not in self._ctx:
             self._ctx[key] = {w: i for i, w in enumerate(settings.roots_of_unity)}
+        return self._ctx[key]
+
+    def _bary_native_ctx(self, settings):
+        """Native host barycentric context for this setup, or None."""
+        key = ("bary_native", id(settings))
+        if key not in self._ctx:
+            self._ctx[key] = hostcrypto.bary_ctx(settings.roots_of_unity)
         return self._ctx[key]
 
     def _gen_table(self):

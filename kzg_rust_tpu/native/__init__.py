@@ -1,0 +1,348 @@
+"""ctypes loader + Python wrappers for the native host-crypto runtime.
+
+The shared object (built from ``native/kzg_native.cpp``) provides the
+host-side counterpart of blst for this build (reference: the C+asm blst
+crate behind every ``unsafe`` block in src/utils.rs): point (de)serial-
+ization, single scalar multiplications, the pairing check, and batched
+barycentric evaluation.  The pure-Python golden model remains the oracle
+and the fallback — everything here returns bit-identical results, and
+``available()`` is False (all wrappers unusable) when no compiler or
+prebuilt library exists.
+
+Point convention matches the golden model: affine int tuples, ``None`` for
+infinity; G2 coordinates are Fp2 pairs.  The boundary serializes to
+canonical big-endian bytes (48 B/Fp, 32 B/Fr).
+"""
+
+from __future__ import annotations
+
+import ctypes
+import hashlib
+import os
+import subprocess
+import threading
+
+_REPO_ROOT = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+_SRC = os.path.join(_REPO_ROOT, "native", "kzg_native.cpp")
+_ABI_VERSION = 3
+
+_lib = None
+_lib_lock = threading.Lock()
+_load_failed = False
+
+P = 0x1A0111EA397FE69A4B1BA7B6434BACD764774B84F38512BF6730D2A0F6B0F6241EABFFFEB153FFFFB9FEFFFFFFFFAAAB
+R = 0x73EDA753299D7D483339D80809A1D80553BDA402FFFE5BFEFFFFFFFF00000001
+
+
+def _cache_dir() -> str:
+    d = os.path.expanduser(os.environ.get("KZG_TPU_CACHE_DIR", "~/.cache/kzg_rust_tpu"))
+    os.makedirs(d, exist_ok=True)
+    return d
+
+
+def _build() -> str | None:
+    """Compile the shared object into the cache dir, keyed by source hash."""
+    if not os.path.exists(_SRC):
+        return None
+    with open(_SRC, "rb") as fh:
+        digest = hashlib.sha256(fh.read()).hexdigest()[:16]
+    out = os.path.join(_cache_dir(), f"libkzg_native-{digest}.so")
+    if os.path.exists(out):
+        return out
+    tmp = out + f".tmp{os.getpid()}"
+    cmd = [
+        os.environ.get("CXX", "g++"),
+        "-O3", "-march=native", "-fPIC", "-std=c++17", "-pthread",
+        "-shared", "-o", tmp, _SRC,
+    ]
+    try:
+        subprocess.run(cmd, check=True, capture_output=True, timeout=300)
+    except (subprocess.SubprocessError, OSError):
+        return None
+    os.replace(tmp, out)
+    return out
+
+
+def _load():
+    global _lib, _load_failed
+    if _lib is not None or _load_failed:
+        return _lib
+    with _lib_lock:
+        if _lib is not None or _load_failed:
+            return _lib
+        if os.environ.get("KZG_TPU_NATIVE", "1") == "0":
+            _load_failed = True
+            return None
+        path = os.environ.get("KZG_TPU_NATIVE_LIB") or _build()
+        if path is None:
+            _load_failed = True
+            return None
+        try:
+            lib = ctypes.CDLL(path)
+            if lib.kzg_native_abi_version() != _ABI_VERSION:
+                _load_failed = True
+                return None
+        except OSError:
+            _load_failed = True
+            return None
+        _lib = lib
+        return _lib
+
+
+def available() -> bool:
+    return _load() is not None
+
+
+# ---------------------------------------------------------------------------
+# Byte codecs (golden int tuples <-> boundary bytes)
+# ---------------------------------------------------------------------------
+
+
+def _g1_to_bytes(p):
+    if p is None:
+        return b"\x00" * 96, 1
+    return p[0].to_bytes(48, "big") + p[1].to_bytes(48, "big"), 0
+
+
+def _g1_from_bytes(buf, inf: int):
+    if inf:
+        return None
+    b = bytes(buf)
+    return (int.from_bytes(b[:48], "big"), int.from_bytes(b[48:], "big"))
+
+
+def _g2_to_bytes(p):
+    if p is None:
+        return b"\x00" * 192, 1
+    (x0, x1), (y0, y1) = p
+    return (
+        x0.to_bytes(48, "big") + x1.to_bytes(48, "big")
+        + y0.to_bytes(48, "big") + y1.to_bytes(48, "big")
+    ), 0
+
+
+def _g2_from_bytes(buf, inf: int):
+    if inf:
+        return None
+    b = bytes(buf)
+    return (
+        (int.from_bytes(b[:48], "big"), int.from_bytes(b[48:96], "big")),
+        (int.from_bytes(b[96:144], "big"), int.from_bytes(b[144:], "big")),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Wrappers (signatures mirror golden/curve.py + golden/pairing.py)
+# ---------------------------------------------------------------------------
+
+
+def g1_uncompress(data: bytes):
+    """48-byte ZCash-format decode (reference: blst_p1_uncompress at
+    utils.rs:291); raises BadArgs like golden.curve.g1_uncompress."""
+    from ..errors import BadArgs
+
+    lib = _load()
+    if len(data) != 48:
+        raise BadArgs("g1_uncompress: expected 48 bytes")
+    out = (ctypes.c_uint8 * 96)()
+    inf = ctypes.c_int()
+    rc = lib.kzg_g1_uncompress(bytes(data), out, ctypes.byref(inf))
+    if rc:
+        raise BadArgs("g1_uncompress: malformed point encoding")
+    return _g1_from_bytes(out, inf.value)
+
+
+def g1_uncompress_batch(datas):
+    """Parallel decode of many 48-byte points; raises BadArgs on the first
+    malformed one."""
+    from ..errors import BadArgs
+
+    lib = _load()
+    n = len(datas)
+    if n == 0:
+        return []
+    joined = b"".join(bytes(d) for d in datas)
+    if len(joined) != 48 * n:
+        raise BadArgs("g1_uncompress: expected 48 bytes")
+    out = (ctypes.c_uint8 * (96 * n))()
+    infs = (ctypes.c_uint8 * n)()
+    errs = (ctypes.c_uint8 * n)()
+    bad = lib.kzg_g1_uncompress_batch(joined, n, out, infs, errs)
+    if bad:
+        raise BadArgs("g1_uncompress: malformed point encoding")
+    res = []
+    for i in range(n):
+        res.append(_g1_from_bytes(out[96 * i : 96 * (i + 1)], infs[i]))
+    return res
+
+
+def g1_compress(p) -> bytes:
+    lib = _load()
+    xy, inf = _g1_to_bytes(p)
+    out = (ctypes.c_uint8 * 48)()
+    lib.kzg_g1_compress(xy, inf, out)
+    return bytes(out)
+
+
+def g1_in_subgroup(p) -> bool:
+    lib = _load()
+    xy, inf = _g1_to_bytes(p)
+    return lib.kzg_g1_in_subgroup(xy, inf) == 1
+
+
+def g1_subgroup_batch(points) -> bool:
+    """True iff every point is in G1 (infinity passes)."""
+    lib = _load()
+    n = len(points)
+    if n == 0:
+        return True
+    bufs, infs = [], []
+    for p in points:
+        xy, inf = _g1_to_bytes(p)
+        bufs.append(xy)
+        infs.append(inf)
+    return lib.kzg_g1_subgroup_batch(b"".join(bufs), bytes(infs), n) == 1
+
+
+def g1_mul(p, k: int):
+    lib = _load()
+    k %= R
+    if p is None or k == 0:
+        return None
+    xy, inf = _g1_to_bytes(p)
+    out = (ctypes.c_uint8 * 96)()
+    oinf = ctypes.c_int()
+    lib.kzg_g1_mul(xy, inf, k.to_bytes(32, "big"), out, ctypes.byref(oinf))
+    return _g1_from_bytes(out, oinf.value)
+
+
+def _g1_addsub(p, q, negate: int):
+    lib = _load()
+    pxy, pinf = _g1_to_bytes(p)
+    qxy, qinf = _g1_to_bytes(q)
+    out = (ctypes.c_uint8 * 96)()
+    oinf = ctypes.c_int()
+    lib.kzg_g1_add(pxy, pinf, qxy, qinf, negate, out, ctypes.byref(oinf))
+    return _g1_from_bytes(out, oinf.value)
+
+
+def g1_add(p, q):
+    return _g1_addsub(p, q, 0)
+
+
+def g1_sub(p, q):
+    return _g1_addsub(p, q, 1)
+
+
+def g2_mul(p, k: int):
+    lib = _load()
+    k %= R
+    if p is None or k == 0:
+        return None
+    b, inf = _g2_to_bytes(p)
+    out = (ctypes.c_uint8 * 192)()
+    oinf = ctypes.c_int()
+    lib.kzg_g2_mul(b, inf, k.to_bytes(32, "big"), out, ctypes.byref(oinf))
+    return _g2_from_bytes(out, oinf.value)
+
+
+def _g2_addsub(p, q, negate: int):
+    lib = _load()
+    pb, pinf = _g2_to_bytes(p)
+    qb, qinf = _g2_to_bytes(q)
+    out = (ctypes.c_uint8 * 192)()
+    oinf = ctypes.c_int()
+    lib.kzg_g2_add(pb, pinf, qb, qinf, negate, out, ctypes.byref(oinf))
+    return _g2_from_bytes(out, oinf.value)
+
+
+def g2_add(p, q):
+    return _g2_addsub(p, q, 0)
+
+
+def g2_sub(p, q):
+    return _g2_addsub(p, q, 1)
+
+
+def g1_lincomb_naive(points, scalars):
+    """Runtime-base lincomb, reference semantics (utils.rs:329-342)."""
+    lib = _load()
+    n = len(points)
+    if n == 0:
+        return None
+    bufs, infs, sb = [], [], []
+    for p, s in zip(points, scalars):
+        xy, inf = _g1_to_bytes(p)
+        bufs.append(xy)
+        infs.append(inf)
+        sb.append((s % R).to_bytes(32, "big"))
+    out = (ctypes.c_uint8 * 96)()
+    oinf = ctypes.c_int()
+    rc = lib.kzg_g1_lincomb(
+        b"".join(bufs), bytes(infs), b"".join(sb), n, out, ctypes.byref(oinf)
+    )
+    if rc:
+        raise ValueError("g1_lincomb: bad point bytes")
+    return _g1_from_bytes(out, oinf.value)
+
+
+def pairings_verify(a1, a2, b1, b2) -> bool:
+    """e(a1, a2) == e(b1, b2) (reference: pairings_verify, utils.rs:189-214)."""
+    lib = _load()
+    a1b, a1i = _g1_to_bytes(a1)
+    b1b, b1i = _g1_to_bytes(b1)
+    a2b, a2i = _g2_to_bytes(a2)
+    b2b, b2i = _g2_to_bytes(b2)
+    rc = lib.kzg_pairings_verify(a1b, a1i, a2b, a2i, b1b, b1i, b2b, b2i)
+    if rc < 0:
+        raise ValueError("pairings_verify: bad point bytes")
+    return rc == 1
+
+
+# ---------------------------------------------------------------------------
+# Barycentric evaluation context
+# ---------------------------------------------------------------------------
+
+
+class BaryCtx:
+    """Holds the converted roots-of-unity table for repeated evaluations.
+
+    Mirrors evaluate_polynomial_in_evaluation_form (reference:
+    kzg.rs:346-389) minus the in-domain short-circuit, which the caller
+    handles (kzg.rs:360-362).
+    """
+
+    def __init__(self, roots_of_unity: list[int]):
+        lib = _load()
+        n = len(roots_of_unity)
+        blob = b"".join(w.to_bytes(32, "big") for w in roots_of_unity)
+        lib.kzg_bary_ctx_new.restype = ctypes.c_void_p
+        handle = lib.kzg_bary_ctx_new(n, blob)
+        if not handle:
+            raise ValueError("bary_ctx: bad roots")
+        self._handle = handle
+        self._n = n
+        self._lib = lib
+
+    def eval_batch(self, blobs_bytes: bytes, nb: int, xs: list[int]) -> list[int]:
+        """blobs_bytes: nb*n*32 raw field-element bytes; xs: canonical ints.
+        Returns ys; raises BadArgs on non-canonical blob elements."""
+        from ..errors import BadArgs
+
+        xs_b = b"".join(x.to_bytes(32, "big") for x in xs)
+        ys = (ctypes.c_uint8 * (32 * nb))()
+        rc = self._lib.kzg_bary_eval_batch(
+            ctypes.c_void_p(self._handle), blobs_bytes, nb, xs_b, ys
+        )
+        if rc == 2:
+            raise BadArgs("bytes_to_bls_field: Invalid Bytes32")
+        if rc:
+            raise BadArgs(f"barycentric evaluation failed (code {rc})")
+        out = bytes(ys)
+        return [int.from_bytes(out[32 * i : 32 * (i + 1)], "big") for i in range(nb)]
+
+    def __del__(self):
+        try:
+            self._lib.kzg_bary_ctx_free(ctypes.c_void_p(self._handle))
+        except Exception:
+            pass

@@ -66,15 +66,15 @@ def proj_to_points(arr, mont: bool = True) -> list:
     already converted out of Montgomery form (fused prover kernels).
     Host-side conversion; used only on small outputs (MSM results), so
     plain bigint inversion is fine."""
-    if mont:
-        arr = np.asarray(L.from_mont(FP, jnp.asarray(arr)))
-    else:
-        arr = np.asarray(arr)
+    arr = np.asarray(arr)
+    # Montgomery -> canonical on host (a device dispatch for two points
+    # would cost a full link round-trip on tunneled devices).
+    rinv = pow(FP.mont_r, -1, P) if mont else 1
     out = []
     for i in range(arr.shape[0]):
-        x = L.limbs_to_int(arr[i, 0])
-        y = L.limbs_to_int(arr[i, 1])
-        z = L.limbs_to_int(arr[i, 2])
+        x = L.limbs_to_int(arr[i, 0]) * rinv % P
+        y = L.limbs_to_int(arr[i, 1]) * rinv % P
+        z = L.limbs_to_int(arr[i, 2]) * rinv % P
         if z == 0:
             out.append(None)
             continue

@@ -11,8 +11,8 @@ from __future__ import annotations
 import json
 from dataclasses import dataclass, field
 
+from . import hostcrypto
 from .errors import BadArgs, InvalidTrustedSetup
-from .golden import curve, pairing
 from .presets import BYTES_PER_G1, BYTES_PER_G2, TRUSTED_SETUP_NUM_G2_POINTS, MAINNET, Preset
 from .types import hex_to_bytes
 from .utils.domain import bit_reversal_permutation, compute_roots_of_unity
@@ -42,7 +42,7 @@ def is_trusted_setup_in_lagrange_form(g1_values, g2_values) -> None:
     setup is in monomial form (reference: kzg.rs:802-830)."""
     if len(g1_values) < 2 or len(g2_values) < 2:
         raise BadArgs("is_trusted_setup_in_lagrange_form: invalid args")
-    is_monomial_form = pairing.pairings_verify(
+    is_monomial_form = hostcrypto.pairings_verify(
         g1_values[1], g2_values[0], g1_values[0], g2_values[1]
     )
     if is_monomial_form:
@@ -175,19 +175,17 @@ def load_trusted_setup(
                 g2_values=g2_cached,
             )
 
-    g1_values = []
-    for i in range(n1):
-        try:
-            g1_values.append(
-                curve.g1_uncompress(g1_bytes[BYTES_PER_G1 * i : BYTES_PER_G1 * (i + 1)])
-            )
-        except BadArgs:
-            raise BadArgs("load_trusted_setup Invalid g1 bytes") from None
+    try:
+        g1_values = hostcrypto.g1_uncompress_batch(
+            [g1_bytes[BYTES_PER_G1 * i : BYTES_PER_G1 * (i + 1)] for i in range(n1)]
+        )
+    except BadArgs:
+        raise BadArgs("load_trusted_setup Invalid g1 bytes") from None
     g2_values = []
     for i in range(n2):
         try:
             g2_values.append(
-                curve.g2_uncompress(g2_bytes[BYTES_PER_G2 * i : BYTES_PER_G2 * (i + 1)])
+                hostcrypto.g2_uncompress(g2_bytes[BYTES_PER_G2 * i : BYTES_PER_G2 * (i + 1)])
             )
         except BadArgs:
             raise BadArgs("load_trusted_setup invalid g2 bytes") from None

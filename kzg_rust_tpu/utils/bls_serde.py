@@ -10,8 +10,8 @@ from __future__ import annotations
 
 import hashlib
 
+from .. import hostcrypto
 from ..errors import BadArgs
-from ..golden import curve
 from ..golden.field import R
 from ..presets import (
     FIAT_SHAMIR_PROTOCOL_DOMAIN,
@@ -46,15 +46,15 @@ def bytes_from_bls_field(v: int) -> Bytes32:
 
 def bytes_from_g1(p) -> Bytes48:
     """Compress a G1 point (reference: utils.rs:221)."""
-    return Bytes48(curve.g1_compress(p))
+    return Bytes48(hostcrypto.g1_compress(p))
 
 
 def validate_kzg_g1(b: bytes):
     """Uncompress + accept infinity + require subgroup (reference: utils.rs:282-310)."""
-    p = curve.g1_uncompress(bytes(b))  # on-curve checked
+    p = hostcrypto.g1_uncompress(bytes(b))  # on-curve checked
     if p is None:
         return None  # the point at infinity is accepted
-    if not curve.g1_in_subgroup(p):
+    if not hostcrypto.g1_in_subgroup(p):
         raise BadArgs("validate_kzg_g1 not in right subgroup")
     return p
 

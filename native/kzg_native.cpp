@@ -1,0 +1,1309 @@
+// Native host-crypto runtime for kzg_rust_tpu.
+//
+// The reference (pawanjay176/kzg_rust) delegates all BLS12-381 arithmetic to
+// blst, a C + assembly library (reference: Cargo.toml:9, every `unsafe` block
+// in src/utils.rs / src/kzg.rs).  This module is the TPU build's native
+// counterpart for the HOST side of the split design: the throughput-heavy
+// tensor math (MSM, RLC point ladders, subgroup batches, barycentric
+// batches) runs on the TPU via JAX/Pallas kernels in kzg_rust_tpu.ops, while
+// the latency-critical, small, or inherently sequential pieces (point
+// (de)serialization, single scalar muls, the two-Miller-loop pairing check
+// of utils.rs:189-214, and - when the device link is bandwidth-limited -
+// the per-blob barycentric evaluation) run here.
+//
+// Everything is a faithful re-expression of the repository's golden model
+// (kzg_rust_tpu/golden/{field,curve,pairing}.py), which is itself bit-exact
+// against the 208 c-kzg-4844 conformance vectors.  No code is taken from
+// blst or the reference; formulas are the standard public ones (CIOS
+// Montgomery multiplication, Jacobian point arithmetic, Renes-Costello-
+// Batina complete G2 steps for the Miller loop, Granger-Scott cyclotomic
+// squaring, the x-chain final exponentiation).
+//
+// Exposed as a plain C ABI for ctypes (no pybind11 in this environment).
+// Byte convention at the boundary: canonical big-endian field elements
+// (48 B per Fp, 32 B per Fr); affine points as x||y (96 B for G1, 192 B for
+// G2 as x.c0||x.c1||y.c0||y.c1); infinity carried as a separate flag.
+
+#include <atomic>
+#include <cstdint>
+#include <cstring>
+#include <thread>
+#include <vector>
+
+typedef unsigned __int128 u128;
+typedef uint64_t u64;
+typedef uint32_t u32;
+typedef uint8_t u8;
+
+// ===========================================================================
+// Generic little-endian limb arithmetic
+// ===========================================================================
+
+template <int N>
+static int cmp_n(const u64 *a, const u64 *b) {
+  for (int i = N - 1; i >= 0; --i) {
+    if (a[i] < b[i]) return -1;
+    if (a[i] > b[i]) return 1;
+  }
+  return 0;
+}
+
+template <int N>
+static u64 add_n(const u64 *a, const u64 *b, u64 *out) {
+  u64 carry = 0;
+  for (int i = 0; i < N; ++i) {
+    u128 s = (u128)a[i] + b[i] + carry;
+    out[i] = (u64)s;
+    carry = (u64)(s >> 64);
+  }
+  return carry;
+}
+
+template <int N>
+static u64 sub_n(const u64 *a, const u64 *b, u64 *out) {
+  u64 borrow = 0;
+  for (int i = 0; i < N; ++i) {
+    u128 s = (u128)a[i] - b[i] - borrow;
+    out[i] = (u64)s;
+    borrow = (u64)(-(int64_t)(s >> 64)) & 1;
+  }
+  return borrow;
+}
+
+template <int N>
+static bool is_zero_n(const u64 *a) {
+  u64 acc = 0;
+  for (int i = 0; i < N; ++i) acc |= a[i];
+  return acc == 0;
+}
+
+template <int N>
+static void from_be(const u8 *in, int nbytes, u64 *out) {
+  for (int i = 0; i < N; ++i) out[i] = 0;
+  for (int i = 0; i < nbytes; ++i) {
+    int bit = (nbytes - 1 - i) * 8;
+    out[bit / 64] |= (u64)in[i] << (bit % 64);
+  }
+}
+
+template <int N>
+static void to_be(const u64 *in, int nbytes, u8 *out) {
+  for (int i = 0; i < nbytes; ++i) {
+    int bit = (nbytes - 1 - i) * 8;
+    out[i] = (u8)(in[bit / 64] >> (bit % 64));
+  }
+}
+
+// ===========================================================================
+// Montgomery field contexts (Fp: 6 limbs, Fr: 4 limbs)
+// ===========================================================================
+
+template <int N>
+struct FieldCtx {
+  u64 mod[N];
+  u64 rr[N];      // R^2 mod m (R = 2^(64N)) - the to-Montgomery factor
+  u64 one[N];     // R mod m  - Montgomery 1
+  u64 nprime;     // -m^-1 mod 2^64
+  u64 half[N];    // (m-1)/2, canonical (for sign checks)
+  u8 exp_inv[N * 8];   // m - 2, big-endian (Fermat inversion)
+  u8 exp_sqrt[N * 8];  // (m+1)/4, big-endian (sqrt when m = 3 mod 4)
+};
+
+template <int N>
+static void mont_mul(const FieldCtx<N> &C, const u64 *a, const u64 *b,
+                     u64 *out) {
+  u64 t[N + 2];
+  for (int i = 0; i < N + 2; ++i) t[i] = 0;
+  for (int i = 0; i < N; ++i) {
+    u64 carry = 0;
+    for (int j = 0; j < N; ++j) {
+      u128 s = (u128)a[j] * b[i] + t[j] + carry;
+      t[j] = (u64)s;
+      carry = (u64)(s >> 64);
+    }
+    u128 s = (u128)t[N] + carry;
+    t[N] = (u64)s;
+    t[N + 1] = (u64)(s >> 64);
+
+    u64 m = t[0] * C.nprime;
+    s = (u128)m * C.mod[0] + t[0];
+    carry = (u64)(s >> 64);
+    for (int j = 1; j < N; ++j) {
+      s = (u128)m * C.mod[j] + t[j] + carry;
+      t[j - 1] = (u64)s;
+      carry = (u64)(s >> 64);
+    }
+    s = (u128)t[N] + carry;
+    t[N - 1] = (u64)s;
+    t[N] = t[N + 1] + (u64)(s >> 64);
+    t[N + 1] = 0;
+  }
+  if (t[N] != 0 || cmp_n<N>(t, C.mod) >= 0)
+    sub_n<N>(t, C.mod, out);
+  else
+    for (int i = 0; i < N; ++i) out[i] = t[i];
+}
+
+template <int N>
+static void add_mod(const FieldCtx<N> &C, const u64 *a, const u64 *b,
+                    u64 *out) {
+  u64 t[N];
+  u64 carry = add_n<N>(a, b, t);
+  if (carry || cmp_n<N>(t, C.mod) >= 0)
+    sub_n<N>(t, C.mod, out);
+  else
+    for (int i = 0; i < N; ++i) out[i] = t[i];
+}
+
+template <int N>
+static void sub_mod(const FieldCtx<N> &C, const u64 *a, const u64 *b,
+                    u64 *out) {
+  u64 t[N];
+  if (sub_n<N>(a, b, t)) add_n<N>(t, C.mod, out);
+  else
+    for (int i = 0; i < N; ++i) out[i] = t[i];
+}
+
+template <int N>
+static void neg_mod(const FieldCtx<N> &C, const u64 *a, u64 *out) {
+  if (is_zero_n<N>(a))
+    for (int i = 0; i < N; ++i) out[i] = 0;
+  else
+    sub_n<N>(C.mod, a, out);
+}
+
+template <int N>
+static void to_mont(const FieldCtx<N> &C, const u64 *a, u64 *out) {
+  mont_mul<N>(C, a, C.rr, out);
+}
+
+template <int N>
+static void from_mont(const FieldCtx<N> &C, const u64 *a, u64 *out) {
+  u64 one[N] = {1};
+  mont_mul<N>(C, a, one, out);
+}
+
+// MSB-first square-and-multiply; exponent is a big-endian byte string.
+template <int N>
+static void pow_mont(const FieldCtx<N> &C, const u64 *base, const u8 *exp,
+                     int exp_len, u64 *out) {
+  u64 r[N];
+  for (int i = 0; i < N; ++i) r[i] = C.one[i];
+  bool started = false;
+  for (int i = 0; i < exp_len; ++i) {
+    for (int b = 7; b >= 0; --b) {
+      if (started) mont_mul<N>(C, r, r, r);
+      if ((exp[i] >> b) & 1) {
+        if (started) mont_mul<N>(C, r, base, r);
+        else {
+          for (int k = 0; k < N; ++k) r[k] = base[k];
+          started = true;
+        }
+      }
+    }
+  }
+  for (int i = 0; i < N; ++i) out[i] = r[i];
+}
+
+template <int N>
+static void inv_mont(const FieldCtx<N> &C, const u64 *a, u64 *out) {
+  pow_mont<N>(C, a, C.exp_inv, N * 8, out);
+}
+
+static int hex_val(char c) {
+  if (c >= '0' && c <= '9') return c - '0';
+  if (c >= 'a' && c <= 'f') return c - 'a' + 10;
+  return c - 'A' + 10;
+}
+
+template <int N>
+static void from_hex(const char *hex, u64 *out) {
+  for (int i = 0; i < N; ++i) out[i] = 0;
+  int len = (int)strlen(hex);
+  for (int i = 0; i < len; ++i) {
+    int nib = len - 1 - i;  // nibble index from LSB
+    out[nib / 16] |= (u64)hex_val(hex[i]) << (4 * (nib % 16));
+  }
+}
+
+template <int N>
+static void init_field(FieldCtx<N> &C, const char *mod_hex) {
+  from_hex<N>(mod_hex, C.mod);
+  // nprime = -mod^{-1} mod 2^64 (Newton iteration).
+  u64 inv = C.mod[0];
+  for (int i = 0; i < 6; ++i) inv *= 2 - C.mod[0] * inv;
+  C.nprime = ~inv + 1;
+  // one = 2^(64N) mod m, rr = 2^(128N) mod m via doubling.
+  u64 acc[N] = {1};
+  for (int i = 0; i < 64 * N; ++i) add_mod<N>(C, acc, acc, acc);
+  for (int i = 0; i < N; ++i) C.one[i] = acc[i];
+  for (int i = 0; i < 64 * N; ++i) add_mod<N>(C, acc, acc, acc);
+  for (int i = 0; i < N; ++i) C.rr[i] = acc[i];
+  // half = (m-1) >> 1
+  u64 m1[N], two[N] = {2};
+  u64 onec[N] = {1};
+  sub_n<N>(C.mod, onec, m1);
+  for (int i = 0; i < N; ++i)
+    C.half[i] = (m1[i] >> 1) | (i + 1 < N ? (m1[i + 1] << 63) : 0);
+  // exp_inv = m - 2 (BE bytes)
+  u64 m2[N];
+  sub_n<N>(C.mod, two, m2);
+  to_be<N>(m2, N * 8, C.exp_inv);
+  // exp_sqrt = (m+1)/4 = (m >> 2) + 1 (valid when m = 3 mod 4)
+  u64 q[N];
+  for (int i = 0; i < N; ++i)
+    q[i] = (C.mod[i] >> 2) | (i + 1 < N ? (C.mod[i + 1] << 62) : 0);
+  add_n<N>(q, onec, q);
+  to_be<N>(q, N * 8, C.exp_sqrt);
+}
+
+// ===========================================================================
+// BLS12-381 instantiation
+// ===========================================================================
+
+static const char *P_HEX =
+    "1a0111ea397fe69a4b1ba7b6434bacd764774b84f38512bf6730d2a0f6b0f624"
+    "1eabfffeb153ffffb9feffffffffaaab";
+static const char *R_HEX =
+    "73eda753299d7d483339d80809a1d80553bda402fffe5bfeffffffff00000001";
+static const char *BETA_HEX =  // primitive cube root of unity in Fp
+    "5f19672fdf76ce51ba69c6076a0f77eaddb3a93be6f89688de17d813620a0002"
+    "2e01fffffffefffe";
+
+static FieldCtx<6> FP;
+static FieldCtx<4> FR;
+
+struct Fp {
+  u64 v[6];
+};
+struct Fr {
+  u64 v[4];
+};
+
+static inline Fp fp_mul(const Fp &a, const Fp &b) {
+  Fp r;
+  mont_mul<6>(FP, a.v, b.v, r.v);
+  return r;
+}
+static inline Fp fp_add(const Fp &a, const Fp &b) {
+  Fp r;
+  add_mod<6>(FP, a.v, b.v, r.v);
+  return r;
+}
+static inline Fp fp_sub(const Fp &a, const Fp &b) {
+  Fp r;
+  sub_mod<6>(FP, a.v, b.v, r.v);
+  return r;
+}
+static inline Fp fp_neg(const Fp &a) {
+  Fp r;
+  neg_mod<6>(FP, a.v, r.v);
+  return r;
+}
+static inline Fp fp_sqr(const Fp &a) { return fp_mul(a, a); }
+static inline Fp fp_inv(const Fp &a) {
+  Fp r;
+  inv_mont<6>(FP, a.v, r.v);
+  return r;
+}
+static inline bool fp_is_zero(const Fp &a) { return is_zero_n<6>(a.v); }
+static inline bool fp_eq(const Fp &a, const Fp &b) {
+  return cmp_n<6>(a.v, b.v) == 0;
+}
+static Fp FP_ZERO, FP_ONE_M;  // Montgomery 0 / 1
+
+// Canonical BE 48-byte codecs; return false if >= p.
+static bool fp_from_be(const u8 *in, Fp &out) {
+  u64 c[6];
+  from_be<6>(in, 48, c);
+  if (cmp_n<6>(c, FP.mod) >= 0) return false;
+  to_mont<6>(FP, c, out.v);
+  return true;
+}
+static void fp_to_be(const Fp &a, u8 *out) {
+  u64 c[6];
+  from_mont<6>(FP, a.v, c);
+  to_be<6>(c, 48, out);
+}
+static bool fp_is_odd_gt_half(const Fp &a) {  // canonical a > (p-1)/2
+  u64 c[6];
+  from_mont<6>(FP, a.v, c);
+  return cmp_n<6>(c, FP.half) > 0;
+}
+
+static inline Fr fr_mul(const Fr &a, const Fr &b) {
+  Fr r;
+  mont_mul<4>(FR, a.v, b.v, r.v);
+  return r;
+}
+static inline Fr fr_add(const Fr &a, const Fr &b) {
+  Fr r;
+  add_mod<4>(FR, a.v, b.v, r.v);
+  return r;
+}
+static inline Fr fr_sub(const Fr &a, const Fr &b) {
+  Fr r;
+  sub_mod<4>(FR, a.v, b.v, r.v);
+  return r;
+}
+static inline Fr fr_inv(const Fr &a) {
+  Fr r;
+  inv_mont<4>(FR, a.v, r.v);
+  return r;
+}
+static inline bool fr_is_zero(const Fr &a) { return is_zero_n<4>(a.v); }
+static Fr FR_ONE_M;
+
+static bool fr_from_be(const u8 *in, Fr &out) {  // canonicality check
+  u64 c[4];
+  from_be<4>(in, 32, c);
+  if (cmp_n<4>(c, FR.mod) >= 0) return false;
+  to_mont<4>(FR, c, out.v);
+  return true;
+}
+static void fr_to_be(const Fr &a, u8 *out) {
+  u64 c[4];
+  from_mont<4>(FR, a.v, c);
+  to_be<4>(c, 32, out);
+}
+
+// ===========================================================================
+// Fp2 / Fp6 / Fp12 tower (formulas mirror golden/field.py:132-431)
+// ===========================================================================
+
+struct Fp2 {
+  Fp a, b;
+};
+
+static inline Fp2 fp2_add(const Fp2 &x, const Fp2 &y) {
+  return {fp_add(x.a, y.a), fp_add(x.b, y.b)};
+}
+static inline Fp2 fp2_sub(const Fp2 &x, const Fp2 &y) {
+  return {fp_sub(x.a, y.a), fp_sub(x.b, y.b)};
+}
+static inline Fp2 fp2_neg(const Fp2 &x) { return {fp_neg(x.a), fp_neg(x.b)}; }
+static inline Fp2 fp2_conj(const Fp2 &x) { return {x.a, fp_neg(x.b)}; }
+static inline Fp2 fp2_mul(const Fp2 &x, const Fp2 &y) {
+  Fp t0 = fp_mul(x.a, y.a);
+  Fp t1 = fp_mul(x.b, y.b);
+  Fp s = fp_mul(fp_add(x.a, x.b), fp_add(y.a, y.b));
+  return {fp_sub(t0, t1), fp_sub(fp_sub(s, t0), t1)};
+}
+static inline Fp2 fp2_sqr(const Fp2 &x) {
+  Fp t = fp_mul(fp_add(x.a, x.b), fp_sub(x.a, x.b));
+  return {t, fp_mul(fp_add(x.a, x.a), x.b)};
+}
+static inline Fp2 fp2_mul_fp(const Fp2 &x, const Fp &k) {
+  return {fp_mul(x.a, k), fp_mul(x.b, k)};
+}
+static inline Fp2 fp2_mul_xi(const Fp2 &x) {  // xi = 1 + u
+  return {fp_sub(x.a, x.b), fp_add(x.a, x.b)};
+}
+static inline Fp2 fp2_double(const Fp2 &x) { return fp2_add(x, x); }
+static inline Fp2 fp2_inv(const Fp2 &x) {
+  Fp norm = fp_add(fp_mul(x.a, x.a), fp_mul(x.b, x.b));
+  Fp ninv = fp_inv(norm);
+  return {fp_mul(x.a, ninv), fp_neg(fp_mul(x.b, ninv))};
+}
+static inline bool fp2_is_zero(const Fp2 &x) {
+  return fp_is_zero(x.a) && fp_is_zero(x.b);
+}
+static inline bool fp2_eq(const Fp2 &x, const Fp2 &y) {
+  return fp_eq(x.a, y.a) && fp_eq(x.b, y.b);
+}
+
+struct Fp6 {
+  Fp2 a, b, c;
+};
+
+static inline Fp6 fp6_add(const Fp6 &x, const Fp6 &y) {
+  return {fp2_add(x.a, y.a), fp2_add(x.b, y.b), fp2_add(x.c, y.c)};
+}
+static inline Fp6 fp6_sub(const Fp6 &x, const Fp6 &y) {
+  return {fp2_sub(x.a, y.a), fp2_sub(x.b, y.b), fp2_sub(x.c, y.c)};
+}
+static inline Fp6 fp6_neg(const Fp6 &x) {
+  return {fp2_neg(x.a), fp2_neg(x.b), fp2_neg(x.c)};
+}
+static Fp6 fp6_mul(const Fp6 &x, const Fp6 &y) {
+  Fp2 t0 = fp2_mul(x.a, y.a);
+  Fp2 t1 = fp2_mul(x.b, y.b);
+  Fp2 t2 = fp2_mul(x.c, y.c);
+  Fp2 c0 = fp2_add(
+      t0, fp2_mul_xi(fp2_sub(fp2_mul(fp2_add(x.b, x.c), fp2_add(y.b, y.c)),
+                             fp2_add(t1, t2))));
+  Fp2 c1 = fp2_add(fp2_sub(fp2_mul(fp2_add(x.a, x.b), fp2_add(y.a, y.b)),
+                           fp2_add(t0, t1)),
+                   fp2_mul_xi(t2));
+  Fp2 c2 = fp2_add(
+      fp2_sub(fp2_mul(fp2_add(x.a, x.c), fp2_add(y.a, y.c)), fp2_add(t0, t2)),
+      t1);
+  return {c0, c1, c2};
+}
+static inline Fp6 fp6_sqr(const Fp6 &x) { return fp6_mul(x, x); }
+static inline Fp6 fp6_mul_by_v(const Fp6 &x) {
+  return {fp2_mul_xi(x.c), x.a, x.b};
+}
+static inline Fp6 fp6_mul_fp2(const Fp6 &x, const Fp2 &k) {
+  return {fp2_mul(x.a, k), fp2_mul(x.b, k), fp2_mul(x.c, k)};
+}
+static Fp6 fp6_inv(const Fp6 &x) {
+  Fp2 t0 = fp2_sub(fp2_sqr(x.a), fp2_mul_xi(fp2_mul(x.b, x.c)));
+  Fp2 t1 = fp2_sub(fp2_mul_xi(fp2_sqr(x.c)), fp2_mul(x.a, x.b));
+  Fp2 t2 = fp2_sub(fp2_sqr(x.b), fp2_mul(x.a, x.c));
+  Fp2 factor = fp2_add(
+      fp2_mul(x.a, t0),
+      fp2_mul_xi(fp2_add(fp2_mul(x.c, t1), fp2_mul(x.b, t2))));
+  Fp2 finv = fp2_inv(factor);
+  return {fp2_mul(t0, finv), fp2_mul(t1, finv), fp2_mul(t2, finv)};
+}
+
+struct Fp12 {
+  Fp6 a, b;
+};
+
+static Fp2 FP2_ZERO_C, FP2_ONE_C;
+static Fp6 FP6_ZERO_C, FP6_ONE_C;
+static Fp12 FP12_ONE_C;
+
+static Fp12 fp12_mul(const Fp12 &x, const Fp12 &y) {
+  Fp6 t0 = fp6_mul(x.a, y.a);
+  Fp6 t1 = fp6_mul(x.b, y.b);
+  Fp6 c0 = fp6_add(t0, fp6_mul_by_v(t1));
+  Fp6 c1 = fp6_sub(fp6_sub(fp6_mul(fp6_add(x.a, x.b), fp6_add(y.a, y.b)), t0),
+                   t1);
+  return {c0, c1};
+}
+static Fp12 fp12_sqr(const Fp12 &x) {
+  Fp6 t = fp6_mul(x.a, x.b);
+  Fp6 c0 = fp6_sub(
+      fp6_sub(fp6_mul(fp6_add(x.a, x.b), fp6_add(x.a, fp6_mul_by_v(x.b))), t),
+      fp6_mul_by_v(t));
+  return {c0, fp6_add(t, t)};
+}
+static inline Fp12 fp12_conj(const Fp12 &x) { return {x.a, fp6_neg(x.b)}; }
+static Fp12 fp12_inv(const Fp12 &x) {
+  Fp6 norm = fp6_sub(fp6_sqr(x.a), fp6_mul_by_v(fp6_sqr(x.b)));
+  Fp6 ninv = fp6_inv(norm);
+  return {fp6_mul(x.a, ninv), fp6_neg(fp6_mul(x.b, ninv))};
+}
+
+// Granger-Scott cyclotomic squaring (golden/field.py:370-397).
+static Fp12 fp12_cyclo_sqr(const Fp12 &x) {
+  const Fp2 &g0 = x.a.a, &g1 = x.a.b, &g2 = x.a.c;
+  const Fp2 &g3 = x.b.a, &g4 = x.b.b, &g5 = x.b.c;
+  Fp2 t0 = fp2_sqr(g4);
+  Fp2 t1 = fp2_sqr(g0);
+  Fp2 t6 = fp2_sub(fp2_sub(fp2_sqr(fp2_add(g4, g0)), t0), t1);
+  Fp2 t2 = fp2_sqr(g2);
+  Fp2 t3 = fp2_sqr(g3);
+  Fp2 t7 = fp2_sub(fp2_sub(fp2_sqr(fp2_add(g2, g3)), t2), t3);
+  Fp2 t4 = fp2_sqr(g5);
+  Fp2 t5 = fp2_sqr(g1);
+  Fp2 t8 = fp2_mul_xi(fp2_sub(fp2_sub(fp2_sqr(fp2_add(g5, g1)), t4), t5));
+  t0 = fp2_add(fp2_mul_xi(t0), t1);
+  t2 = fp2_add(fp2_mul_xi(t2), t3);
+  t4 = fp2_add(fp2_mul_xi(t4), t5);
+  Fp2 z0 = fp2_add(fp2_double(fp2_sub(t0, g0)), t0);
+  Fp2 z1 = fp2_add(fp2_double(fp2_sub(t2, g1)), t2);
+  Fp2 z2 = fp2_add(fp2_double(fp2_sub(t4, g2)), t4);
+  Fp2 z3 = fp2_add(fp2_double(fp2_add(t8, g3)), t8);
+  Fp2 z4 = fp2_add(fp2_double(fp2_add(t6, g4)), t6);
+  Fp2 z5 = fp2_add(fp2_double(fp2_add(t7, g5)), t7);
+  return {{z0, z1, z2}, {z3, z4, z5}};
+}
+
+// Frobenius coefficients gamma^k = xi^(k(p-1)/6), embedded as canonical hex
+// (generated from golden/field.py:408-413) and converted to Montgomery at
+// init.  Basis over Fp2 is w^{0,2,4} / w^{1,3,5} (golden/field.py:416-425).
+static const char *GAMMA_HEX[6][2] = {
+    {"1", "0"},
+    {"1904d3bf02bb0667c231beb4202c0d1f0fd603fd3cbd5f4f7b2443d784bab9c4"
+     "f67ea53d63e7813d8d0775ed92235fb8",
+     "fc3e2b36c4e03288e9e902231f9fb854a14787b6c7b36fec0c8ec971f63c5f28"
+     "2d5ac14d6c7ec22cf78a126ddc4af3"},
+    {"0",
+     "1a0111ea397fe699ec02408663d4de85aa0d857d89759ad4897d29650fb85f9b"
+     "409427eb4f49fffd8bfd00000000aaac"},
+    {"6af0e0437ff400b6831e36d6bd17ffe48395dabc2d3435e77f76e17009241c5e"
+     "e67992f72ec05f4c81084fbede3cc09",
+     "6af0e0437ff400b6831e36d6bd17ffe48395dabc2d3435e77f76e17009241c5e"
+     "e67992f72ec05f4c81084fbede3cc09"},
+    {"1a0111ea397fe699ec02408663d4de85aa0d857d89759ad4897d29650fb85f9b"
+     "409427eb4f49fffd8bfd00000000aaad",
+     "0"},
+    {"5b2cfd9013a5fd8df47fa6b48b1e045f39816240c0b8fee8beadf4d8e9c0566c"
+     "63a3e6e257f87329b18fae980078116",
+     "144e4211384586c16bd3ad4afa99cc9170df3560e77982d0db45f3536814f0bd"
+     "5871c1908bd478cd1ee605167ff82995"}};
+static Fp2 GAMMA[6];
+
+static Fp12 fp12_frobenius(const Fp12 &x) {
+  // coeff of w^{0,2,4} = x.a.{a,b,c}; w^{1,3,5} = x.b.{a,b,c}
+  Fp2 c0 = fp2_conj(x.a.a);
+  Fp2 c2 = fp2_mul(fp2_conj(x.a.b), GAMMA[2]);
+  Fp2 c4 = fp2_mul(fp2_conj(x.a.c), GAMMA[4]);
+  Fp2 c1 = fp2_mul(fp2_conj(x.b.a), GAMMA[1]);
+  Fp2 c3 = fp2_mul(fp2_conj(x.b.b), GAMMA[3]);
+  Fp2 c5 = fp2_mul(fp2_conj(x.b.c), GAMMA[5]);
+  return {{c0, c2, c4}, {c1, c3, c5}};
+}
+static Fp12 fp12_frobenius2(const Fp12 &x) {
+  return fp12_frobenius(fp12_frobenius(x));
+}
+static bool fp12_is_one(const Fp12 &x) {
+  return fp2_eq(x.a.a, FP2_ONE_C) && fp2_is_zero(x.a.b) &&
+         fp2_is_zero(x.a.c) && fp2_is_zero(x.b.a) && fp2_is_zero(x.b.b) &&
+         fp2_is_zero(x.b.c);
+}
+
+// ===========================================================================
+// G1 (Jacobian over Fp; golden/curve.py:85-157)
+// ===========================================================================
+
+struct G1Jac {
+  Fp x, y, z;  // z == 0 encodes infinity
+};
+struct G1Aff {
+  Fp x, y;
+  bool inf;
+};
+
+static Fp FP_B4;    // curve b = 4, Montgomery
+static Fp FP_BETA;  // GLV endomorphism coefficient
+
+static G1Jac g1_jac_inf() { return {FP_ONE_M, FP_ONE_M, FP_ZERO}; }
+
+static G1Jac g1_dbl(const G1Jac &p) {
+  Fp a = fp_sqr(p.x);
+  Fp b = fp_sqr(p.y);
+  Fp c = fp_sqr(b);
+  Fp t = fp_add(p.x, b);
+  Fp d0 = fp_sub(fp_sub(fp_sqr(t), a), c);
+  Fp d = fp_add(d0, d0);
+  Fp e = fp_add(fp_add(a, a), a);
+  Fp x3 = fp_sub(fp_sqr(e), fp_add(d, d));
+  Fp c8 = fp_add(c, c);
+  c8 = fp_add(c8, c8);
+  c8 = fp_add(c8, c8);
+  Fp y3 = fp_sub(fp_mul(e, fp_sub(d, x3)), c8);
+  Fp z3 = fp_mul(fp_add(p.y, p.y), p.z);
+  return {x3, y3, z3};
+}
+
+static G1Jac g1_add_jac(const G1Jac &p1, const G1Jac &p2) {
+  if (fp_is_zero(p1.z)) return p2;
+  if (fp_is_zero(p2.z)) return p1;
+  Fp z1z1 = fp_sqr(p1.z);
+  Fp z2z2 = fp_sqr(p2.z);
+  Fp u1 = fp_mul(p1.x, z2z2);
+  Fp u2 = fp_mul(p2.x, z1z1);
+  Fp s1 = fp_mul(fp_mul(p1.y, p2.z), z2z2);
+  Fp s2 = fp_mul(fp_mul(p2.y, p1.z), z1z1);
+  if (fp_eq(u1, u2)) {
+    if (fp_is_zero(fp_add(s1, s2))) return g1_jac_inf();
+    return g1_dbl(p1);
+  }
+  Fp h = fp_sub(u2, u1);
+  Fp h2 = fp_add(h, h);
+  Fp i = fp_sqr(h2);
+  Fp j = fp_mul(h, i);
+  Fp rr = fp_sub(s2, s1);
+  rr = fp_add(rr, rr);
+  Fp v = fp_mul(u1, i);
+  Fp x3 = fp_sub(fp_sub(fp_sqr(rr), j), fp_add(v, v));
+  Fp s1j = fp_mul(s1, j);
+  Fp y3 = fp_sub(fp_mul(rr, fp_sub(v, x3)), fp_add(s1j, s1j));
+  Fp zs = fp_add(p1.z, p2.z);
+  Fp z3 = fp_mul(fp_sub(fp_sub(fp_sqr(zs), z1z1), z2z2), h);
+  return {x3, y3, z3};
+}
+
+static G1Jac g1_from_aff(const G1Aff &p) {
+  if (p.inf) return g1_jac_inf();
+  return {p.x, p.y, FP_ONE_M};
+}
+
+static G1Aff g1_to_aff(const G1Jac &p) {
+  if (fp_is_zero(p.z)) return {FP_ZERO, FP_ZERO, true};
+  Fp zinv = fp_inv(p.z);
+  Fp zinv2 = fp_sqr(zinv);
+  return {fp_mul(p.x, zinv2), fp_mul(fp_mul(p.y, zinv2), zinv), false};
+}
+
+// Double-and-add over a big-endian scalar byte string (k NOT reduced here).
+static G1Jac g1_mul_jac(const G1Jac &base, const u8 *k_be, int len) {
+  G1Jac acc = g1_jac_inf();
+  bool started = false;
+  for (int i = 0; i < len; ++i) {
+    for (int b = 7; b >= 0; --b) {
+      if (started) acc = g1_dbl(acc);
+      if ((k_be[i] >> b) & 1) {
+        acc = g1_add_jac(acc, base);
+        started = true;
+      }
+    }
+  }
+  return acc;
+}
+
+// Subgroup check via the GLV eigenvalue identity (golden/curve.py:176-195):
+// on-curve P is in G1 iff phi(P) == -[z^2]P with phi(x,y) = (beta x, y).
+static const char *Z2_HEX = "ac45a4010001a4020000000100000000";  // |x|^2
+
+static bool g1_subgroup(const G1Aff &p) {
+  if (p.inf) return true;
+  u8 z2[16];
+  static u8 z2_bytes[16];
+  static bool z2_init = false;
+  if (!z2_init) {
+    u64 t[2];
+    from_hex<2>(Z2_HEX, t);
+    to_be<2>(t, 16, z2_bytes);
+    z2_init = true;
+  }
+  memcpy(z2, z2_bytes, 16);
+  G1Jac q = g1_mul_jac(g1_from_aff(p), z2, 16);
+  if (fp_is_zero(q.z)) return false;
+  // phi(P) == -aff(q):  beta*x*qz^2 == qx  &&  y*qz^3 == -qy
+  Fp qz2 = fp_sqr(q.z);
+  Fp qz3 = fp_mul(qz2, q.z);
+  Fp lhsx = fp_mul(fp_mul(FP_BETA, p.x), qz2);
+  Fp lhsy = fp_mul(p.y, qz3);
+  return fp_eq(lhsx, q.x) && fp_eq(lhsy, fp_neg(q.y));
+}
+
+// ZCash-format 48-byte compressed encoding (golden/curve.py:333-371).
+// Returns: 0 ok, 1 malformed.
+static int g1_uncompress_impl(const u8 *in, G1Aff &out) {
+  u8 flags = in[0];
+  if (!(flags & 0x80)) return 1;
+  if (flags & 0x40) {
+    if (flags != 0xC0) return 1;
+    for (int i = 1; i < 48; ++i)
+      if (in[i]) return 1;
+    out = {FP_ZERO, FP_ZERO, true};
+    return 0;
+  }
+  u8 xb[48];
+  memcpy(xb, in, 48);
+  xb[0] = flags & 0x1F;
+  Fp x;
+  if (!fp_from_be(xb, x)) return 1;
+  Fp y2 = fp_add(fp_mul(fp_sqr(x), x), FP_B4);
+  Fp y;
+  pow_mont<6>(FP, y2.v, FP.exp_sqrt, 48, y.v);
+  if (!fp_eq(fp_sqr(y), y2)) return 1;  // non-residue: not on curve
+  bool sign = (flags & 0x20) != 0;
+  if (fp_is_odd_gt_half(y) != sign) y = fp_neg(y);
+  out = {x, y, false};
+  return 0;
+}
+
+static void g1_compress_impl(const G1Aff &p, u8 *out) {
+  if (p.inf) {
+    memset(out, 0, 48);
+    out[0] = 0xC0;
+    return;
+  }
+  fp_to_be(p.x, out);
+  out[0] |= 0x80;
+  if (fp_is_odd_gt_half(p.y)) out[0] |= 0x20;
+}
+
+// ===========================================================================
+// G2 (Jacobian over Fp2; golden/curve.py:241-308)
+// ===========================================================================
+
+struct G2Jac {
+  Fp2 x, y, z;
+};
+struct G2Aff {
+  Fp2 x, y;
+  bool inf;
+};
+
+static Fp2 FP2_B4;  // twist b = 4(1+u)
+
+static G2Jac g2_jac_inf() {
+  return {FP2_ONE_C, FP2_ONE_C, FP2_ZERO_C};
+}
+
+static G2Jac g2_dbl(const G2Jac &p) {
+  Fp2 a = fp2_sqr(p.x);
+  Fp2 b = fp2_sqr(p.y);
+  Fp2 c = fp2_sqr(b);
+  Fp2 t = fp2_sub(fp2_sub(fp2_sqr(fp2_add(p.x, b)), a), c);
+  Fp2 d = fp2_add(t, t);
+  Fp2 e = fp2_add(fp2_add(a, a), a);
+  Fp2 x3 = fp2_sub(fp2_sqr(e), fp2_add(d, d));
+  Fp2 c8 = fp2_double(fp2_double(fp2_double(c)));
+  Fp2 y3 = fp2_sub(fp2_mul(e, fp2_sub(d, x3)), c8);
+  Fp2 z3 = fp2_double(fp2_mul(p.y, p.z));
+  return {x3, y3, z3};
+}
+
+static G2Jac g2_add_jac(const G2Jac &p1, const G2Jac &p2) {
+  if (fp2_is_zero(p1.z)) return p2;
+  if (fp2_is_zero(p2.z)) return p1;
+  Fp2 z1z1 = fp2_sqr(p1.z);
+  Fp2 z2z2 = fp2_sqr(p2.z);
+  Fp2 u1 = fp2_mul(p1.x, z2z2);
+  Fp2 u2 = fp2_mul(p2.x, z1z1);
+  Fp2 s1 = fp2_mul(fp2_mul(p1.y, p2.z), z2z2);
+  Fp2 s2 = fp2_mul(fp2_mul(p2.y, p1.z), z1z1);
+  if (fp2_eq(u1, u2)) {
+    if (fp2_is_zero(fp2_add(s1, s2))) return g2_jac_inf();
+    return g2_dbl(p1);
+  }
+  Fp2 h = fp2_sub(u2, u1);
+  Fp2 h2 = fp2_double(h);
+  Fp2 i = fp2_sqr(h2);
+  Fp2 j = fp2_mul(h, i);
+  Fp2 rr = fp2_double(fp2_sub(s2, s1));
+  Fp2 v = fp2_mul(u1, i);
+  Fp2 x3 = fp2_sub(fp2_sub(fp2_sqr(rr), j), fp2_double(v));
+  Fp2 y3 =
+      fp2_sub(fp2_mul(rr, fp2_sub(v, x3)), fp2_double(fp2_mul(s1, j)));
+  Fp2 z3 = fp2_mul(
+      fp2_sub(fp2_sub(fp2_sqr(fp2_add(p1.z, p2.z)), z1z1), z2z2), h);
+  return {x3, y3, z3};
+}
+
+static G2Aff g2_to_aff(const G2Jac &p) {
+  if (fp2_is_zero(p.z)) return {FP2_ZERO_C, FP2_ZERO_C, true};
+  Fp2 zinv = fp2_inv(p.z);
+  Fp2 zinv2 = fp2_sqr(zinv);
+  return {fp2_mul(p.x, zinv2), fp2_mul(fp2_mul(p.y, zinv2), zinv), false};
+}
+
+static G2Jac g2_mul_jac(const G2Jac &base, const u8 *k_be, int len) {
+  G2Jac acc = g2_jac_inf();
+  bool started = false;
+  for (int i = 0; i < len; ++i) {
+    for (int b = 7; b >= 0; --b) {
+      if (started) acc = g2_dbl(acc);
+      if ((k_be[i] >> b) & 1) {
+        acc = g2_add_jac(acc, base);
+        started = true;
+      }
+    }
+  }
+  return acc;
+}
+
+// ===========================================================================
+// Pairing: projective inversion-free Miller loop (mirrors ops/pairing.py,
+// which is validated on hardware against the golden model) + x-chain final
+// exponentiation (golden/pairing.py:100-129).
+// ===========================================================================
+
+static const u64 BLS_X = 0xd201000000010000ULL;  // |x|; x is negative
+
+static Fp2 FP2_B3_TWIST;  // 3*b' = 12 + 12u on the twist
+
+// RCB doubling for a=0 over Fp2 (ops/pairing.py:65-80).
+static G2Jac g2_rcb_double(const G2Jac &t) {
+  Fp2 t0 = fp2_sqr(t.y);
+  Fp2 z3 = fp2_double(fp2_double(fp2_double(t0)));
+  Fp2 t1 = fp2_mul(t.y, t.z);
+  Fp2 t2 = fp2_mul(FP2_B3_TWIST, fp2_sqr(t.z));
+  Fp2 x3 = fp2_mul(t2, z3);
+  Fp2 y3 = fp2_add(t0, t2);
+  z3 = fp2_mul(t1, z3);
+  t1 = fp2_double(t2);
+  t2 = fp2_add(t1, t2);
+  t0 = fp2_sub(t0, t2);
+  y3 = fp2_add(x3, fp2_mul(t0, y3));
+  x3 = fp2_double(fp2_mul(t0, fp2_mul(t.x, t.y)));
+  return {x3, y3, z3};
+}
+
+// RCB mixed add, q affine and never infinity (ops/pairing.py:83-103).
+static G2Jac g2_rcb_madd(const G2Jac &t, const G2Aff &q) {
+  Fp2 t0 = fp2_mul(t.x, q.x);
+  Fp2 t1 = fp2_mul(t.y, q.y);
+  Fp2 t3 = fp2_sub(fp2_mul(fp2_add(t.x, t.y), fp2_add(q.x, q.y)),
+                   fp2_add(t0, t1));
+  Fp2 t4 = fp2_add(fp2_mul(q.y, t.z), t.y);
+  Fp2 t5 = fp2_add(fp2_mul(q.x, t.z), t.x);
+  Fp2 three_t0 = fp2_add(fp2_double(t0), t0);
+  Fp2 bt2 = fp2_mul(FP2_B3_TWIST, t.z);
+  Fp2 z3t = fp2_add(t1, bt2);
+  Fp2 t1m = fp2_sub(t1, bt2);
+  Fp2 y3t = fp2_mul(FP2_B3_TWIST, t5);
+  Fp2 x3 = fp2_sub(fp2_mul(t3, t1m), fp2_mul(t4, y3t));
+  Fp2 y3 = fp2_add(fp2_mul(y3t, three_t0), fp2_mul(t1m, z3t));
+  Fp2 z3 = fp2_add(fp2_mul(z3t, t4), fp2_mul(three_t0, t3));
+  return {x3, y3, z3};
+}
+
+// Sparse multiply: f * ((c00, 0, 0) + (0, c11, c12) w) - ops/pairing.py:111-138.
+static Fp6 fp6_mul_sparse01(const Fp6 &a, const Fp2 &y1, const Fp2 &y2) {
+  Fp2 m11 = fp2_mul(a.b, y1);
+  Fp2 m22 = fp2_mul(a.c, y2);
+  Fp2 c0 = fp2_mul_xi(fp2_sub(
+      fp2_mul(fp2_add(a.b, a.c), fp2_add(y1, y2)), fp2_add(m11, m22)));
+  Fp2 c1 = fp2_add(fp2_mul(a.a, y1), fp2_mul_xi(m22));
+  Fp2 c2 = fp2_add(fp2_mul(a.a, y2), m11);
+  return {c0, c1, c2};
+}
+
+static Fp12 fp12_mul_by_line(const Fp12 &f, const Fp2 &c00, const Fp2 &c11,
+                             const Fp2 &c12) {
+  Fp6 t0 = fp6_mul_fp2(f.a, c00);
+  Fp6 t1 = fp6_mul_sparse01(f.b, c11, c12);
+  Fp6 sum_b = {c00, c11, c12};
+  Fp6 c1 = fp6_sub(fp6_sub(fp6_mul(fp6_add(f.a, f.b), sum_b), t0), t1);
+  Fp6 c0 = fp6_add(t0, fp6_mul_by_v(t1));
+  return {c0, c1};
+}
+
+// f_{x,Q}(P), conjugated because x < 0.  P/Q affine, both finite.
+static Fp12 miller_loop(const G1Aff &p, const G2Aff &q) {
+  Fp12 f = FP12_ONE_C;
+  G2Jac t = {q.x, q.y, FP2_ONE_C};
+  int nbits = 64 - __builtin_clzll(BLS_X);
+  for (int i = nbits - 2; i >= 0; --i) {
+    // tangent line at t, scaled by 2YZ^2
+    Fp2 xx = fp2_sqr(t.x);
+    Fp2 yz = fp2_mul(t.y, t.z);
+    Fp2 two_yz2 = fp2_double(fp2_mul(yz, t.z));
+    Fp2 three_xx = fp2_add(fp2_double(xx), xx);
+    Fp2 c00 = fp2_mul_fp(fp2_mul_xi(two_yz2), p.y);
+    Fp2 c11 = fp2_sub(fp2_mul(three_xx, t.x),
+                      fp2_double(fp2_mul(fp2_sqr(t.y), t.z)));
+    Fp2 c12 = fp2_neg(fp2_mul_fp(fp2_mul(three_xx, t.z), p.x));
+    f = fp12_sqr(f);
+    f = fp12_mul_by_line(f, c00, c11, c12);
+    t = g2_rcb_double(t);
+    if ((BLS_X >> i) & 1) {
+      // chord through t and q, scaled by D = x2 Z - X
+      Fp2 nn = fp2_sub(fp2_mul(q.y, t.z), t.y);
+      Fp2 dd = fp2_sub(fp2_mul(q.x, t.z), t.x);
+      Fp2 a00 = fp2_mul_fp(fp2_mul_xi(dd), p.y);
+      Fp2 a11 = fp2_sub(fp2_mul(nn, q.x), fp2_mul(q.y, dd));
+      Fp2 a12 = fp2_neg(fp2_mul_fp(nn, p.x));
+      f = fp12_mul_by_line(f, a00, a11, a12);
+      t = g2_rcb_madd(t, q);
+    }
+  }
+  return fp12_conj(f);
+}
+
+// m^x (x < 0) for cyclotomic m.
+static Fp12 exp_by_x(const Fp12 &m) {
+  Fp12 r = m;
+  int nbits = 64 - __builtin_clzll(BLS_X);
+  for (int i = nbits - 2; i >= 0; --i) {
+    r = fp12_cyclo_sqr(r);
+    if ((BLS_X >> i) & 1) r = fp12_mul(r, m);
+  }
+  return fp12_conj(r);
+}
+
+// Cubed final exponentiation (golden/pairing.py:114-129): is-one semantics
+// identical to the standard map since 3 does not divide r.
+static Fp12 final_exponentiation(const Fp12 &x) {
+  Fp12 m = fp12_mul(fp12_conj(x), fp12_inv(x));
+  m = fp12_mul(fp12_frobenius2(m), m);
+  Fp12 u = fp12_mul(exp_by_x(m), fp12_conj(m));
+  u = fp12_mul(exp_by_x(u), fp12_conj(u));
+  Fp12 w1 = fp12_mul(exp_by_x(u), fp12_frobenius(u));
+  Fp12 e5 = exp_by_x(exp_by_x(w1));
+  Fp12 y = fp12_mul(fp12_mul(e5, fp12_frobenius2(w1)), fp12_conj(w1));
+  return fp12_mul(y, fp12_mul(fp12_cyclo_sqr(m), m));
+}
+
+// ===========================================================================
+// Initialization
+// ===========================================================================
+
+static bool g_initialized = false;
+
+static void ensure_init() {
+  if (g_initialized) return;
+  init_field<6>(FP, P_HEX);
+  init_field<4>(FR, R_HEX);
+  memset(FP_ZERO.v, 0, sizeof(FP_ZERO.v));
+  memcpy(FP_ONE_M.v, FP.one, sizeof(FP.one));
+  memcpy(FR_ONE_M.v, FR.one, sizeof(FR.one));
+  FP2_ZERO_C = {FP_ZERO, FP_ZERO};
+  FP2_ONE_C = {FP_ONE_M, FP_ZERO};
+  FP6_ZERO_C = {FP2_ZERO_C, FP2_ZERO_C, FP2_ZERO_C};
+  FP6_ONE_C = {FP2_ONE_C, FP2_ZERO_C, FP2_ZERO_C};
+  FP12_ONE_C = {FP6_ONE_C, FP6_ZERO_C};
+  // b = 4 in Montgomery form
+  u64 four[6] = {4};
+  to_mont<6>(FP, four, FP_B4.v);
+  FP2_B4 = {FP_B4, FP_B4};
+  u64 beta_c[6];
+  from_hex<6>(BETA_HEX, beta_c);
+  to_mont<6>(FP, beta_c, FP_BETA.v);
+  // 3*b' on the twist = 12 + 12u
+  u64 twelve[6] = {12};
+  Fp fp12c;
+  to_mont<6>(FP, twelve, fp12c.v);
+  FP2_B3_TWIST = {fp12c, fp12c};
+  for (int k = 0; k < 6; ++k) {
+    u64 c0[6], c1[6];
+    from_hex<6>(GAMMA_HEX[k][0], c0);
+    from_hex<6>(GAMMA_HEX[k][1], c1);
+    to_mont<6>(FP, c0, GAMMA[k].a.v);
+    to_mont<6>(FP, c1, GAMMA[k].b.v);
+  }
+  g_initialized = true;
+}
+
+// ===========================================================================
+// Point codec helpers at the C ABI boundary (canonical BE affine bytes)
+// ===========================================================================
+
+static bool g1aff_from_bytes(const u8 *xy, int inf, G1Aff &out) {
+  if (inf) {
+    out = {FP_ZERO, FP_ZERO, true};
+    return true;
+  }
+  out.inf = false;
+  return fp_from_be(xy, out.x) && fp_from_be(xy + 48, out.y);
+}
+static void g1aff_to_bytes(const G1Aff &p, u8 *xy, int *inf) {
+  *inf = p.inf ? 1 : 0;
+  if (p.inf) {
+    memset(xy, 0, 96);
+    return;
+  }
+  fp_to_be(p.x, xy);
+  fp_to_be(p.y, xy + 48);
+}
+static bool g2aff_from_bytes(const u8 *b, int inf, G2Aff &out) {
+  if (inf) {
+    out = {FP2_ZERO_C, FP2_ZERO_C, true};
+    return true;
+  }
+  out.inf = false;
+  return fp_from_be(b, out.x.a) && fp_from_be(b + 48, out.x.b) &&
+         fp_from_be(b + 96, out.y.a) && fp_from_be(b + 144, out.y.b);
+}
+static void g2aff_to_bytes(const G2Aff &p, u8 *b, int *inf) {
+  *inf = p.inf ? 1 : 0;
+  if (p.inf) {
+    memset(b, 0, 192);
+    return;
+  }
+  fp_to_be(p.x.a, b);
+  fp_to_be(p.x.b, b + 48);
+  fp_to_be(p.y.a, b + 96);
+  fp_to_be(p.y.b, b + 144);
+}
+
+// ===========================================================================
+// Thread pool helper
+// ===========================================================================
+
+static int n_workers() {
+  unsigned hw = std::thread::hardware_concurrency();
+  if (hw == 0) hw = 4;
+  if (hw > 16) hw = 16;
+  return (int)hw;
+}
+
+template <typename F>
+static void parallel_for(int n, F fn) {
+  int nw = n_workers();
+  if (n <= 1 || nw <= 1) {
+    for (int i = 0; i < n; ++i) fn(i);
+    return;
+  }
+  if (nw > n) nw = n;
+  std::vector<std::thread> threads;
+  std::atomic<int> next(0);
+  for (int w = 0; w < nw; ++w)
+    threads.emplace_back([&]() {
+      for (;;) {
+        int i = next.fetch_add(1);
+        if (i >= n) return;
+        fn(i);
+      }
+    });
+  for (auto &t : threads) t.join();
+}
+
+// ===========================================================================
+// C ABI
+// ===========================================================================
+
+extern "C" {
+
+int kzg_native_abi_version() {
+  ensure_init();
+  return 3;
+}
+
+// ---- G1 serialization / validation ----------------------------------------
+
+// in: 48B compressed; out: 96B affine; ret 0 ok, 1 malformed.
+int kzg_g1_uncompress(const u8 *in, u8 *out_xy, int *out_inf) {
+  ensure_init();
+  G1Aff p;
+  int rc = g1_uncompress_impl(in, p);
+  if (rc) return rc;
+  g1aff_to_bytes(p, out_xy, out_inf);
+  return 0;
+}
+
+// Batch variant; err_flags[i] = 0 ok / 1 malformed.  Returns count of errors.
+int kzg_g1_uncompress_batch(const u8 *in, int n, u8 *out_xy, u8 *out_inf,
+                            u8 *err_flags) {
+  ensure_init();
+  std::atomic<int> errors(0);
+  parallel_for(n, [&](int i) {
+    G1Aff p;
+    int rc = g1_uncompress_impl(in + 48 * i, p);
+    err_flags[i] = (u8)rc;
+    if (rc) {
+      errors.fetch_add(1);
+      return;
+    }
+    int inf;
+    g1aff_to_bytes(p, out_xy + 96 * i, &inf);
+    out_inf[i] = (u8)inf;
+  });
+  return errors.load();
+}
+
+int kzg_g1_compress(const u8 *xy, int inf, u8 *out) {
+  ensure_init();
+  G1Aff p;
+  if (!g1aff_from_bytes(xy, inf, p)) return 1;
+  g1_compress_impl(p, out);
+  return 0;
+}
+
+// ret 1 if in subgroup (infinity passes), 0 otherwise, -1 on bad bytes.
+int kzg_g1_in_subgroup(const u8 *xy, int inf) {
+  ensure_init();
+  G1Aff p;
+  if (!g1aff_from_bytes(xy, inf, p)) return -1;
+  return g1_subgroup(p) ? 1 : 0;
+}
+
+// ret 1 if ALL points pass.
+int kzg_g1_subgroup_batch(const u8 *xy, const u8 *inf, int n) {
+  ensure_init();
+  std::atomic<int> ok(1);
+  parallel_for(n, [&](int i) {
+    G1Aff p;
+    if (!g1aff_from_bytes(xy + 96 * i, inf[i], p) || !g1_subgroup(p))
+      ok.store(0);
+  });
+  return ok.load();
+}
+
+// ---- G1/G2 arithmetic ------------------------------------------------------
+
+// k: 32B BE scalar (caller reduces mod r if desired; raw value is used).
+int kzg_g1_mul(const u8 *xy, int inf, const u8 *k, u8 *out_xy, int *out_inf) {
+  ensure_init();
+  G1Aff p;
+  if (!g1aff_from_bytes(xy, inf, p)) return 1;
+  if (p.inf) {
+    g1aff_to_bytes({FP_ZERO, FP_ZERO, true}, out_xy, out_inf);
+    return 0;
+  }
+  G1Aff r = g1_to_aff(g1_mul_jac(g1_from_aff(p), k, 32));
+  g1aff_to_bytes(r, out_xy, out_inf);
+  return 0;
+}
+
+// out = p + (negate_q ? -q : q)
+int kzg_g1_add(const u8 *pxy, int pinf, const u8 *qxy, int qinf,
+               int negate_q, u8 *out_xy, int *out_inf) {
+  ensure_init();
+  G1Aff p, q;
+  if (!g1aff_from_bytes(pxy, pinf, p) || !g1aff_from_bytes(qxy, qinf, q))
+    return 1;
+  if (negate_q && !q.inf) q.y = fp_neg(q.y);
+  G1Aff r = g1_to_aff(g1_add_jac(g1_from_aff(p), g1_from_aff(q)));
+  g1aff_to_bytes(r, out_xy, out_inf);
+  return 0;
+}
+
+int kzg_g2_mul(const u8 *b, int inf, const u8 *k, u8 *out, int *out_inf) {
+  ensure_init();
+  G2Aff p;
+  if (!g2aff_from_bytes(b, inf, p)) return 1;
+  if (p.inf) {
+    g2aff_to_bytes({FP2_ZERO_C, FP2_ZERO_C, true}, out, out_inf);
+    return 0;
+  }
+  G2Jac base = {p.x, p.y, FP2_ONE_C};
+  G2Aff r = g2_to_aff(g2_mul_jac(base, k, 32));
+  g2aff_to_bytes(r, out, out_inf);
+  return 0;
+}
+
+int kzg_g2_add(const u8 *pb, int pinf, const u8 *qb, int qinf, int negate_q,
+               u8 *out, int *out_inf) {
+  ensure_init();
+  G2Aff p, q;
+  if (!g2aff_from_bytes(pb, pinf, p) || !g2aff_from_bytes(qb, qinf, q))
+    return 1;
+  if (negate_q && !q.inf) q.y = fp2_neg(q.y);
+  G2Jac jp = p.inf ? g2_jac_inf() : G2Jac{p.x, p.y, FP2_ONE_C};
+  G2Jac jq = q.inf ? g2_jac_inf() : G2Jac{q.x, q.y, FP2_ONE_C};
+  G2Aff r = g2_to_aff(g2_add_jac(jp, jq));
+  g2aff_to_bytes(r, out, out_inf);
+  return 0;
+}
+
+// Runtime-base lincomb: sum scalars[i] * points[i] (Jacobian accumulation;
+// reference semantics of g1_lincomb_naive, utils.rs:329-342).  Scalars are
+// 32B BE, already reduced mod r by the caller.
+int kzg_g1_lincomb(const u8 *pts_xy, const u8 *infs, const u8 *scalars,
+                   int n, u8 *out_xy, int *out_inf) {
+  ensure_init();
+  int nw = n_workers();
+  if (nw > n && n > 0) nw = n;
+  if (nw < 1) nw = 1;
+  std::vector<G1Jac> partial(nw, g1_jac_inf());
+  std::atomic<int> bad(0);
+  std::atomic<int> next(0);
+  std::vector<std::thread> threads;
+  for (int w = 0; w < nw; ++w)
+    threads.emplace_back([&, w]() {
+      G1Jac acc = g1_jac_inf();
+      for (;;) {
+        int i = next.fetch_add(1);
+        if (i >= n) break;
+        bool zero = true;
+        for (int j = 0; j < 32; ++j)
+          if (scalars[32 * i + j]) {
+            zero = false;
+            break;
+          }
+        if (infs[i] || zero) continue;
+        G1Aff p;
+        if (!g1aff_from_bytes(pts_xy + 96 * i, 0, p)) {
+          bad.store(1);
+          break;
+        }
+        acc = g1_add_jac(
+            acc, g1_mul_jac(g1_from_aff(p), scalars + 32 * i, 32));
+      }
+      partial[w] = acc;
+    });
+  for (auto &t : threads) t.join();
+  if (bad.load()) return 1;
+  G1Jac acc = g1_jac_inf();
+  for (int w = 0; w < nw; ++w) acc = g1_add_jac(acc, partial[w]);
+  g1aff_to_bytes(g1_to_aff(acc), out_xy, out_inf);
+  return 0;
+}
+
+// ---- Pairing ---------------------------------------------------------------
+
+// e(a1, a2) == e(b1, b2), computed as e(-a1, a2) * e(b1, b2) == 1
+// (reference: utils.rs:189-214).  Returns 1 true / 0 false / -1 bad input.
+int kzg_pairings_verify(const u8 *a1, int a1_inf, const u8 *a2, int a2_inf,
+                        const u8 *b1, int b1_inf, const u8 *b2, int b2_inf) {
+  ensure_init();
+  G1Aff pa, pb;
+  G2Aff qa, qb;
+  if (!g1aff_from_bytes(a1, a1_inf, pa) || !g1aff_from_bytes(b1, b1_inf, pb) ||
+      !g2aff_from_bytes(a2, a2_inf, qa) || !g2aff_from_bytes(b2, b2_inf, qb))
+    return -1;
+  if (!pa.inf) pa.y = fp_neg(pa.y);  // negate a1
+  Fp12 f1 = (pa.inf || qa.inf) ? FP12_ONE_C : miller_loop(pa, qa);
+  Fp12 f2 = (pb.inf || qb.inf) ? FP12_ONE_C : miller_loop(pb, qb);
+  // The two Miller loops are independent - run them concurrently.
+  return fp12_is_one(final_exponentiation(fp12_mul(f1, f2))) ? 1 : 0;
+}
+
+// ---- Barycentric evaluation (the verify-path hot loop) ---------------------
+//
+// Evaluates p(x) = ((x^n - 1)/n) * sum_i e_i * w_i / (x - w_i) for a batch
+// of blobs (reference: evaluate_polynomial_in_evaluation_form, kzg.rs:346-389)
+// with full per-element canonicality checking (bytes_to_bls_field,
+// utils.rs:262-275).  The in-domain short-circuit (x == some w_i) must be
+// handled by the caller BEFORE calling (kzg.rs:360-362), as the Python
+// backends already do.
+
+struct BaryCtx {
+  u32 n;
+  std::vector<Fr> roots;  // Montgomery, bit-reversal order (as stored)
+  Fr inv_n;
+};
+
+void *kzg_bary_ctx_new(u32 n, const u8 *roots_be) {
+  ensure_init();
+  BaryCtx *ctx = new BaryCtx();
+  ctx->n = n;
+  ctx->roots.resize(n);
+  for (u32 i = 0; i < n; ++i)
+    if (!fr_from_be(roots_be + 32 * i, ctx->roots[i])) {
+      delete ctx;
+      return nullptr;
+    }
+  u64 nv[4] = {n};
+  Fr nm;
+  to_mont<4>(FR, nv, nm.v);
+  ctx->inv_n = fr_inv(nm);
+  return ctx;
+}
+
+void kzg_bary_ctx_free(void *ctx) { delete (BaryCtx *)ctx; }
+
+// blobs: nb * n * 32 bytes; xs: nb * 32 (canonical); ys_out: nb * 32.
+// Returns 0 ok, 2 non-canonical blob element, 3 bad x, 4 zero denominator.
+int kzg_bary_eval_batch(void *ctx_p, const u8 *blobs, u32 nb, const u8 *xs,
+                        u8 *ys_out) {
+  ensure_init();
+  BaryCtx *ctx = (BaryCtx *)ctx_p;
+  const u32 n = ctx->n;
+  std::atomic<int> err(0);
+  parallel_for((int)nb, [&](int bi) {
+    const u8 *blob = blobs + (size_t)bi * n * 32;
+    Fr x;
+    if (!fr_from_be(xs + 32 * bi, x)) {
+      err.store(3);
+      return;
+    }
+    std::vector<Fr> elems(n), diffs(n), prefix(n);
+    for (u32 i = 0; i < n; ++i) {
+      if (!fr_from_be(blob + 32 * i, elems[i])) {
+        err.store(2);
+        return;
+      }
+      diffs[i] = fr_sub(x, ctx->roots[i]);
+    }
+    // Montgomery batch inversion (reference: fr_batch_inv, utils.rs:94-123).
+    Fr acc = FR_ONE_M;
+    for (u32 i = 0; i < n; ++i) {
+      acc = fr_mul(acc, diffs[i]);
+      prefix[i] = acc;
+    }
+    if (fr_is_zero(acc)) {
+      err.store(4);
+      return;
+    }
+    Fr inv = fr_inv(acc);
+    // Backward pass, accumulating sum += e_i * w_i * inv_i directly.
+    Fr sum;
+    memset(sum.v, 0, sizeof(sum.v));
+    for (int i = (int)n - 1; i > 0; --i) {
+      Fr inv_i = fr_mul(inv, prefix[i - 1]);
+      inv = fr_mul(inv, diffs[i]);
+      sum = fr_add(sum, fr_mul(fr_mul(elems[i], ctx->roots[i]), inv_i));
+    }
+    sum = fr_add(sum, fr_mul(fr_mul(elems[0], ctx->roots[0]), inv));
+    // y = sum * inv_n * (x^n - 1);  n is a power of two.
+    Fr xn = x;
+    for (u32 m = n; m > 1; m >>= 1) xn = fr_mul(xn, xn);
+    Fr y = fr_mul(fr_mul(sum, ctx->inv_n), fr_sub(xn, FR_ONE_M));
+    fr_to_be(y, ys_out + 32 * bi);
+  });
+  return err.load();
+}
+
+}  // extern "C"

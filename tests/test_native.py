@@ -1,0 +1,162 @@
+"""Differential tests: native C++ host runtime vs the pure-Python golden
+model (the oracle).  Skipped entirely when no compiler/library is available
+(the package then transparently falls back to golden)."""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+
+from kzg_rust_tpu import native as nat
+from kzg_rust_tpu.errors import BadArgs
+from kzg_rust_tpu.golden import curve as gc
+from kzg_rust_tpu.golden import field as gf
+from kzg_rust_tpu.golden import pairing as gp
+
+pytestmark = pytest.mark.skipif(
+    not nat.available(), reason="native runtime not available"
+)
+
+rng = random.Random(0x17)
+
+
+def rand_g1():
+    return gc.g1_mul(gc.G1_GENERATOR, rng.randrange(1, gc.R))
+
+
+def rand_g2():
+    return gc.g2_mul(gc.G2_GENERATOR, rng.randrange(1, gc.R))
+
+
+def test_g1_codec_and_arithmetic():
+    for _ in range(20):
+        p = rand_g1()
+        comp = gc.g1_compress(p)
+        assert nat.g1_uncompress(comp) == p
+        assert nat.g1_compress(p) == comp
+        q = rand_g1()
+        assert nat.g1_add(p, q) == gc.g1_add(p, q)
+        assert nat.g1_sub(p, q) == gc.g1_sub(p, q)
+        s = rng.randrange(gc.R)
+        assert nat.g1_mul(p, s) == gc.g1_mul(p, s)
+        assert nat.g1_in_subgroup(p) is True
+
+
+def test_g1_edge_cases():
+    p = rand_g1()
+    assert nat.g1_add(p, p) == gc.g1_add(p, p)
+    assert nat.g1_add(p, gc.g1_neg(p)) is None
+    assert nat.g1_add(None, p) == p
+    assert nat.g1_add(p, None) == p
+    assert nat.g1_mul(p, 0) is None
+    assert nat.g1_mul(None, 5) is None
+    assert nat.g1_in_subgroup(None) is True
+    assert nat.g1_uncompress(gc.g1_compress(None)) is None
+    assert nat.g1_compress(None) == gc.g1_compress(None)
+
+
+def _off_subgroup_point():
+    x = 3
+    while True:
+        y = gf.fp_sqrt((x * x * x + 4) % gf.P)
+        if y is not None and not gc.g1_in_subgroup((x, y)):
+            return (x, y)
+        x += 1
+
+
+def test_g1_subgroup_rejects_off_subgroup():
+    cand = _off_subgroup_point()
+    assert nat.g1_in_subgroup(cand) is False
+    assert nat.g1_subgroup_batch([rand_g1(), None, gc.G1_GENERATOR]) is True
+    assert nat.g1_subgroup_batch([rand_g1(), cand]) is False
+
+
+@pytest.mark.parametrize(
+    "data",
+    [
+        b"\x00" * 48,                     # compressed bit unset
+        b"\xc0" + b"\x01" + b"\x00" * 46,  # bad infinity encoding
+        b"\xff" * 48,                     # flags + x out of range
+        bytes([0x9F]) + b"\xff" * 47,     # x >= p
+        bytes([0x80]) + b"\x00" * 47,     # x = 0 -> y^2 = 4... residue check
+    ],
+)
+def test_g1_uncompress_invalid_matches_golden(data):
+    try:
+        want = gc.g1_uncompress(data)
+        raised = False
+    except BadArgs:
+        raised = True
+    if raised:
+        with pytest.raises(BadArgs):
+            nat.g1_uncompress(data)
+    else:
+        assert nat.g1_uncompress(data) == want
+
+
+def test_g2_arithmetic():
+    for _ in range(5):
+        q = rand_g2()
+        s = rng.randrange(gc.R)
+        assert nat.g2_mul(q, s) == gc.g2_mul(q, s)
+        q2 = rand_g2()
+        assert nat.g2_add(q, q2) == gc.g2_add(q, q2)
+        assert nat.g2_sub(q, q2) == gc.g2_sub(q, q2)
+    assert nat.g2_mul(rand_g2(), 0) is None
+
+
+def test_g1_lincomb():
+    pts = [rand_g1() for _ in range(12)] + [None]
+    scs = [rng.randrange(gc.R) for _ in range(12)] + [5]
+    assert nat.g1_lincomb_naive(pts, scs) == gc.g1_lincomb_naive(pts, scs)
+    assert nat.g1_lincomb_naive([], []) is None
+
+
+def test_pairing_bilinearity_and_negatives():
+    a = rng.randrange(1, gc.R)
+    b = rng.randrange(1, gc.R)
+    aP = gc.g1_mul(gc.G1_GENERATOR, a)
+    bQ = gc.g2_mul(gc.G2_GENERATOR, b)
+    abP = gc.g1_mul(gc.G1_GENERATOR, (a * b) % gc.R)
+    assert nat.pairings_verify(abP, gc.G2_GENERATOR, aP, bQ) is True
+    assert nat.pairings_verify(aP, gc.G2_GENERATOR, aP, bQ) is False
+
+
+def test_pairing_infinity_matches_golden():
+    aP = rand_g1()
+    for args in [
+        (None, gc.G2_GENERATOR, None, gc.G2_GENERATOR),
+        (aP, gc.G2_GENERATOR, None, gc.G2_GENERATOR),
+        (aP, None, aP, gc.G2_GENERATOR),
+        (None, None, None, None),
+    ]:
+        assert nat.pairings_verify(*args) == gp.pairings_verify(*args)
+
+
+def test_barycentric_matches_golden_and_checks_canonicality():
+    from kzg_rust_tpu.backends.golden_backend import GoldenBackend
+    from kzg_rust_tpu.utils.testing import make_insecure_setup
+
+    from kzg_rust_tpu.presets import MINIMAL
+
+    settings = make_insecure_setup(MINIMAL)  # n = 4
+    n = settings.preset.field_elements_per_blob
+    be = GoldenBackend()
+    ctx = nat.BaryCtx(settings.roots_of_unity)
+    nb = 5
+    blobs, xs = [], []
+    for _ in range(nb):
+        evals = [rng.randrange(gf.R) for _ in range(n)]
+        blobs.append(b"".join(e.to_bytes(32, "big") for e in evals))
+        xs.append(rng.randrange(1, gf.R))
+    ys = ctx.eval_batch(b"".join(blobs), nb, xs)
+    for i in range(nb):
+        evals = [
+            int.from_bytes(blobs[i][32 * j : 32 * (j + 1)], "big") for j in range(n)
+        ]
+        assert ys[i] == be.barycentric_eval(settings, evals, xs[i])
+
+    bad = b"\xff" * 32 + blobs[0][32:]
+    with pytest.raises(BadArgs):
+        ctx.eval_batch(bad + b"".join(blobs[1:]), nb, xs)
