@@ -30,6 +30,19 @@ def _pow2_pad(n: int, lo: int = 2) -> int:
     return m
 
 
+_HASH_POOL = None
+
+
+def _hash_pool():
+    """Shared executor for GIL-releasing SHA-256 work."""
+    global _HASH_POOL
+    if _HASH_POOL is None:
+        from concurrent.futures import ThreadPoolExecutor
+
+        _HASH_POOL = ThreadPoolExecutor(max_workers=os.cpu_count() or 4)
+    return _HASH_POOL
+
+
 class JaxBackend(GoldenBackend):
     name = "jax"
 
@@ -87,11 +100,18 @@ class JaxBackend(GoldenBackend):
         if bary_native is None:
             blob_dev = self._blob_bytes_dev(settings, blobs)
 
-        # 3. Fiat-Shamir challenges (host SHA-256).
-        zs = [
-            serde.challenge_hash(preset, bytes(blobs[i]), bytes(commitments_bytes[i]))
+        # 3. Fiat-Shamir challenges (host SHA-256).  Preimages are built on
+        #    the main thread (bytes concatenation holds the GIL anyway);
+        #    only the hashing - which releases the GIL for large inputs -
+        #    fans out, over a shared executor so no pool is built per call.
+        preimages = [
+            serde.challenge_preimage(preset, bytes(blobs[i]), bytes(commitments_bytes[i]))
             for i in range(n)
         ]
+        if n >= 8:
+            zs = list(_hash_pool().map(serde.hash_to_bls_field_sha, preimages))
+        else:
+            zs = [serde.hash_to_bls_field_sha(m) for m in preimages]
 
         # 4. Subgroup checks + batched barycentric evaluation.  The
         #    in-domain short-circuit is handled on host (kzg.rs:360-362).
@@ -133,12 +153,12 @@ class JaxBackend(GoldenBackend):
             ry = 0
             for rp, y in zip(r_powers, ys):
                 ry += rp * y
-            c_minus_y = hostcrypto.g1_sub(
-                hostcrypto.g1_lincomb_naive(commitments, r_powers),
+            # Σ rⁱCᵢ + Σ (rⁱzᵢ)·proofᵢ as ONE 2n-point MSM (shared buckets).
+            rhs_g1 = hostcrypto.g1_sub(
+                hostcrypto.g1_lincomb_naive(
+                    commitments + proofs, r_powers + r_times_z
+                ),
                 hostcrypto.g1_mul(gcurve.G1_GENERATOR, ry % R),
-            )
-            rhs_g1 = hostcrypto.g1_add(
-                c_minus_y, hostcrypto.g1_lincomb_naive(proofs, r_times_z)
             )
             return self.pairings_verify(
                 proof_lincomb, settings.g2_values[1], rhs_g1, gcurve.G2_GENERATOR

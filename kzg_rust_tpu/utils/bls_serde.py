@@ -88,10 +88,9 @@ def compute_challenge(preset: Preset, blob: bytes, commitment_bytes: bytes) -> i
     return challenge_hash(preset, blob, commitment_bytes)
 
 
-def challenge_hash(preset: Preset, blob: bytes, commitment_bytes: bytes) -> int:
-    """The challenge hash alone, for callers that already validated the
-    commitment (the batched device pipeline validates all points in one
-    kernel before hashing)."""
+def challenge_preimage(preset: Preset, blob: bytes, commitment_bytes: bytes) -> bytes:
+    """The compute_challenge SHA-256 preimage (reference: kzg.rs:298-339;
+    16-byte degree field = two u64s)."""
     preimage = (
         FIAT_SHAMIR_PROTOCOL_DOMAIN
         + bytes_from_uint64(0)
@@ -100,7 +99,21 @@ def challenge_hash(preset: Preset, blob: bytes, commitment_bytes: bytes) -> int:
         + bytes(commitment_bytes)
     )
     assert len(preimage) == preset.challenge_input_size
+    return preimage
+
+
+def hash_to_bls_field_sha(preimage: bytes) -> int:
+    """SHA-256 then reduce mod r (reference: hash_to_bls_field,
+    utils.rs:250-258).  GIL-friendly: hashlib releases the GIL for large
+    inputs, so batch callers can fan these out over threads."""
     return hash_to_bls_field(hashlib.sha256(preimage).digest())
+
+
+def challenge_hash(preset: Preset, blob: bytes, commitment_bytes: bytes) -> int:
+    """The challenge hash alone, for callers that already validated the
+    commitment (the batched device pipeline validates all points in one
+    kernel before hashing)."""
+    return hash_to_bls_field_sha(challenge_preimage(preset, blob, commitment_bytes))
 
 
 def compute_r_powers(

@@ -109,21 +109,25 @@ struct FieldCtx {
   u8 exp_sqrt[N * 8];  // (m+1)/4, big-endian (sqrt when m = 3 mod 4)
 };
 
+// CIOS with the "no-carry" optimization: valid because both moduli's top
+// limb is < (2^64-1)/2 (checked in init_field), so the per-iteration
+// accumulator fits in N limbs plus one carry word and the t[N]/t[N+1]
+// bookkeeping of textbook CIOS disappears.
 template <int N>
 static void mont_mul(const FieldCtx<N> &C, const u64 *a, const u64 *b,
                      u64 *out) {
-  u64 t[N + 2];
-  for (int i = 0; i < N + 2; ++i) t[i] = 0;
+  u64 t[N];
+  for (int i = 0; i < N; ++i) t[i] = 0;
   for (int i = 0; i < N; ++i) {
-    u64 carry = 0;
-    for (int j = 0; j < N; ++j) {
-      u128 s = (u128)a[j] * b[i] + t[j] + carry;
+    u128 s = (u128)a[0] * b[i] + t[0];
+    t[0] = (u64)s;
+    u64 carry = (u64)(s >> 64);
+    for (int j = 1; j < N; ++j) {
+      s = (u128)a[j] * b[i] + t[j] + carry;
       t[j] = (u64)s;
       carry = (u64)(s >> 64);
     }
-    u128 s = (u128)t[N] + carry;
-    t[N] = (u64)s;
-    t[N + 1] = (u64)(s >> 64);
+    u64 hi = carry;
 
     u64 m = t[0] * C.nprime;
     s = (u128)m * C.mod[0] + t[0];
@@ -133,12 +137,9 @@ static void mont_mul(const FieldCtx<N> &C, const u64 *a, const u64 *b,
       t[j - 1] = (u64)s;
       carry = (u64)(s >> 64);
     }
-    s = (u128)t[N] + carry;
-    t[N - 1] = (u64)s;
-    t[N] = t[N + 1] + (u64)(s >> 64);
-    t[N + 1] = 0;
+    t[N - 1] = hi + carry;
   }
-  if (t[N] != 0 || cmp_n<N>(t, C.mod) >= 0)
+  if (cmp_n<N>(t, C.mod) >= 0)
     sub_n<N>(t, C.mod, out);
   else
     for (int i = 0; i < N; ++i) out[i] = t[i];
@@ -229,6 +230,8 @@ static void from_hex(const char *hex, u64 *out) {
 template <int N>
 static void init_field(FieldCtx<N> &C, const char *mod_hex) {
   from_hex<N>(mod_hex, C.mod);
+  // mont_mul's no-carry variant requires a small top limb.
+  if (C.mod[N - 1] >= (~(u64)0) / 2) __builtin_trap();
   // nprime = -mod^{-1} mod 2^64 (Newton iteration).
   u64 inv = C.mod[0];
   for (int i = 0; i < 6; ++i) inv *= 2 - C.mod[0] * inv;
@@ -647,6 +650,34 @@ static G1Jac g1_mul_jac(const G1Jac &base, const u8 *k_be, int len) {
   return acc;
 }
 
+// Mixed addition p + q with q affine (Z2 = 1): 8M + 3S (madd-2007-bl),
+// vs 12M + 4S for the general Jacobian add - the bucket-accumulation
+// workhorse of the Pippenger MSM below.
+static G1Jac g1_add_mixed(const G1Jac &p, const G1Aff &q) {
+  if (q.inf) return p;
+  if (fp_is_zero(p.z)) return {q.x, q.y, FP_ONE_M};
+  Fp z1z1 = fp_sqr(p.z);
+  Fp u2 = fp_mul(q.x, z1z1);
+  Fp s2 = fp_mul(fp_mul(q.y, p.z), z1z1);
+  if (fp_eq(p.x, u2)) {
+    if (fp_is_zero(fp_add(p.y, s2))) return g1_jac_inf();
+    return g1_dbl(p);
+  }
+  Fp h = fp_sub(u2, p.x);
+  Fp hh = fp_sqr(h);
+  Fp i4 = fp_add(hh, hh);
+  i4 = fp_add(i4, i4);
+  Fp j = fp_mul(h, i4);
+  Fp rr = fp_sub(s2, p.y);
+  rr = fp_add(rr, rr);
+  Fp v = fp_mul(p.x, i4);
+  Fp x3 = fp_sub(fp_sub(fp_sqr(rr), j), fp_add(v, v));
+  Fp s1j = fp_mul(p.y, j);
+  Fp y3 = fp_sub(fp_mul(rr, fp_sub(v, x3)), fp_add(s1j, s1j));
+  Fp z3 = fp_sub(fp_sub(fp_sqr(fp_add(p.z, h)), z1z1), hh);  // = 2*Z1*H
+  return {x3, y3, z3};
+}
+
 // Subgroup check via the GLV eigenvalue identity (golden/curve.py:176-195):
 // on-curve P is in G1 iff phi(P) == -[z^2]P with phi(x,y) = (beta x, y).
 static const char *Z2_HEX = "ac45a4010001a4020000000100000000";  // |x|^2
@@ -1033,6 +1064,101 @@ static void parallel_for(int n, F fn) {
 // C ABI
 // ===========================================================================
 
+// ===========================================================================
+// Pippenger bucket-method MSM (signed windows, threaded across windows)
+// ===========================================================================
+//
+// The reference reaches blst_p1s_mult_pippenger for its MSMs
+// (utils.rs:399-406); this is the same bucket method, from the public
+// algorithm: signed c-bit digits halve the bucket count, bucket
+// accumulation uses mixed addition (points arrive affine), and windows are
+// independent so they fan out across the worker threads.  Used for n >= 8
+// (the reference itself stays naive below 8 points, utils.rs:369-371).
+
+static int pippenger_window(int n) {
+  if (n < 32) return 4;
+  if (n < 128) return 5;
+  if (n < 512) return 7;
+  if (n < 2048) return 9;
+  return 11;
+}
+
+// digits[w] in [-(2^(c-1)) .. 2^(c-1)]; scalars are 32B BE, < r < 2^255,
+// so ceil(256/c)+1 windows absorb every carry.
+static void signed_digits(const u8 *k_be, int c, int nwin, int32_t *digits) {
+  u64 v[4];
+  from_be<4>(k_be, 32, v);
+  int carry = 0;
+  for (int w = 0; w < nwin; ++w) {
+    int bit = w * c;
+    int d = carry;
+    if (bit < 256) {
+      u64 lo = v[bit / 64] >> (bit % 64);
+      if (bit % 64 + c > 64 && bit / 64 + 1 < 4)
+        lo |= v[bit / 64 + 1] << (64 - bit % 64);
+      d += (int)(lo & (((u64)1 << c) - 1));
+    }
+    if (d > (1 << (c - 1))) {
+      d -= 1 << c;
+      carry = 1;
+    } else {
+      carry = 0;
+    }
+    digits[w] = d;
+  }
+}
+
+static G1Jac g1_msm_pippenger(const std::vector<G1Aff> &pts,
+                              const u8 *scalars, int n) {
+  const int c = pippenger_window(n);
+  const int nwin = (256 + c - 1) / c + 1;
+  const int nbuckets = 1 << (c - 1);
+
+  std::vector<int32_t> digits((size_t)n * nwin);
+  parallel_for(n, [&](int i) {
+    signed_digits(scalars + 32 * i, c, nwin, &digits[(size_t)i * nwin]);
+  });
+
+  std::vector<G1Jac> win_sums(nwin, g1_jac_inf());
+  std::atomic<int> next_win(0);
+  int nw = n_workers();
+  std::vector<std::thread> threads;
+  for (int t = 0; t < nw; ++t)
+    threads.emplace_back([&]() {
+      std::vector<G1Jac> buckets(nbuckets);
+      for (;;) {
+        int w = next_win.fetch_add(1);
+        if (w >= nwin) break;
+        for (int b = 0; b < nbuckets; ++b) buckets[b] = g1_jac_inf();
+        for (int i = 0; i < n; ++i) {
+          int32_t d = digits[(size_t)i * nwin + w];
+          if (d == 0 || pts[i].inf) continue;
+          if (d > 0) {
+            buckets[d - 1] = g1_add_mixed(buckets[d - 1], pts[i]);
+          } else {
+            G1Aff neg = {pts[i].x, fp_neg(pts[i].y), false};
+            buckets[-d - 1] = g1_add_mixed(buckets[-d - 1], neg);
+          }
+        }
+        // sum_k (k+1)*bucket_k via running suffix sums.
+        G1Jac acc = g1_jac_inf(), sum = g1_jac_inf();
+        for (int b = nbuckets - 1; b >= 0; --b) {
+          acc = g1_add_jac(acc, buckets[b]);
+          sum = g1_add_jac(sum, acc);
+        }
+        win_sums[w] = sum;
+      }
+    });
+  for (auto &t : threads) t.join();
+
+  G1Jac total = g1_jac_inf();
+  for (int w = nwin - 1; w >= 0; --w) {
+    for (int d = 0; d < c; ++d) total = g1_dbl(total);
+    total = g1_add_jac(total, win_sums[w]);
+  }
+  return total;
+}
+
 extern "C" {
 
 int kzg_native_abi_version() {
@@ -1163,6 +1289,19 @@ int kzg_g2_add(const u8 *pb, int pinf, const u8 *qb, int qinf, int negate_q,
 int kzg_g1_lincomb(const u8 *pts_xy, const u8 *infs, const u8 *scalars,
                    int n, u8 *out_xy, int *out_inf) {
   ensure_init();
+  if (n >= 8) {
+    // Bucket-method MSM (the reference's own threshold for switching off
+    // the naive path, utils.rs:369-371).  Identical group element.
+    std::vector<G1Aff> pts(n);
+    std::atomic<int> bad(0);
+    parallel_for(n, [&](int i) {
+      if (!g1aff_from_bytes(pts_xy + 96 * i, infs[i], pts[i])) bad.store(1);
+    });
+    if (bad.load()) return 1;
+    G1Jac acc = g1_msm_pippenger(pts, scalars, n);
+    g1aff_to_bytes(g1_to_aff(acc), out_xy, out_inf);
+    return 0;
+  }
   int nw = n_workers();
   if (nw > n && n > 0) nw = n;
   if (nw < 1) nw = 1;
@@ -1214,9 +1353,12 @@ int kzg_pairings_verify(const u8 *a1, int a1_inf, const u8 *a2, int a2_inf,
       !g2aff_from_bytes(a2, a2_inf, qa) || !g2aff_from_bytes(b2, b2_inf, qb))
     return -1;
   if (!pa.inf) pa.y = fp_neg(pa.y);  // negate a1
-  Fp12 f1 = (pa.inf || qa.inf) ? FP12_ONE_C : miller_loop(pa, qa);
-  Fp12 f2 = (pb.inf || qb.inf) ? FP12_ONE_C : miller_loop(pb, qb);
   // The two Miller loops are independent - run them concurrently.
+  Fp12 f1 = FP12_ONE_C, f2 = FP12_ONE_C;
+  std::thread t1;
+  if (!pa.inf && !qa.inf) t1 = std::thread([&]() { f1 = miller_loop(pa, qa); });
+  if (!pb.inf && !qb.inf) f2 = miller_loop(pb, qb);
+  if (t1.joinable()) t1.join();
   return fp12_is_one(final_exponentiation(fp12_mul(f1, f2))) ? 1 : 0;
 }
 
@@ -1262,47 +1404,73 @@ int kzg_bary_eval_batch(void *ctx_p, const u8 *blobs, u32 nb, const u8 *xs,
   BaryCtx *ctx = (BaryCtx *)ctx_p;
   const u32 n = ctx->n;
   std::atomic<int> err(0);
-  parallel_for((int)nb, [&](int bi) {
-    const u8 *blob = blobs + (size_t)bi * n * 32;
-    Fr x;
-    if (!fr_from_be(xs + 32 * bi, x)) {
-      err.store(3);
-      return;
-    }
-    std::vector<Fr> elems(n), diffs(n), prefix(n);
-    for (u32 i = 0; i < n; ++i) {
-      if (!fr_from_be(blob + 32 * i, elems[i])) {
-        err.store(2);
-        return;
+  std::atomic<u32> next(0);
+  int nw = n_workers();
+  if ((u32)nw > nb) nw = (int)nb;
+  std::vector<std::thread> threads;
+  for (int t = 0; t < nw; ++t)
+    threads.emplace_back([&]() {
+      // Per-thread scratch, reused across blobs (3 * 128 KB mainnet).
+      std::vector<Fr> elems(n), diffs(n), prefix(n);
+      for (;;) {
+        u32 bi = next.fetch_add(1);
+        if (bi >= nb || err.load()) break;
+        const u8 *blob = blobs + (size_t)bi * n * 32;
+        Fr x;
+        if (!fr_from_be(xs + 32 * bi, x)) {
+          err.store(3);
+          break;
+        }
+        // Elements are kept in STANDARD (non-Montgomery) domain: with
+        // e standard and t Montgomery, mont_mul(e, t) = e*t standard, so
+        // the per-element to-Montgomery conversion mul is never paid.
+        bool bad = false;
+        for (u32 i = 0; i < n; ++i) {
+          from_be<4>(blob + 32 * i, 32, elems[i].v);
+          if (cmp_n<4>(elems[i].v, FR.mod) >= 0) {
+            bad = true;
+            break;
+          }
+          diffs[i] = fr_sub(x, ctx->roots[i]);
+        }
+        if (bad) {
+          err.store(2);
+          break;
+        }
+        // Montgomery batch inversion (reference: fr_batch_inv,
+        // utils.rs:94-123).
+        Fr acc = FR_ONE_M;
+        for (u32 i = 0; i < n; ++i) {
+          acc = fr_mul(acc, diffs[i]);
+          prefix[i] = acc;
+        }
+        if (fr_is_zero(acc)) {
+          err.store(4);
+          break;
+        }
+        Fr inv = fr_inv(acc);
+        // Backward pass: sum += e_i * (w_i * inv_i), sum staying standard.
+        Fr sum;
+        memset(sum.v, 0, sizeof(sum.v));
+        for (int i = (int)n - 1; i > 0; --i) {
+          Fr inv_i = fr_mul(inv, prefix[i - 1]);
+          inv = fr_mul(inv, diffs[i]);
+          Fr t1 = fr_mul(ctx->roots[i], inv_i);
+          sum = fr_add(sum, fr_mul(elems[i], t1));
+        }
+        Fr t0 = fr_mul(ctx->roots[0], inv);
+        sum = fr_add(sum, fr_mul(elems[0], t0));
+        // y = sum * inv_n * (x^n - 1);  n is a power of two.  sum is
+        // standard and the combined factor Montgomery, so one final
+        // mont_mul lands y in standard domain, ready for to_be.
+        Fr xn = x;
+        for (u32 m = n; m > 1; m >>= 1) xn = fr_mul(xn, xn);
+        Fr f = fr_mul(ctx->inv_n, fr_sub(xn, FR_ONE_M));
+        Fr y = fr_mul(sum, f);
+        to_be<4>(y.v, 32, ys_out + 32 * bi);
       }
-      diffs[i] = fr_sub(x, ctx->roots[i]);
-    }
-    // Montgomery batch inversion (reference: fr_batch_inv, utils.rs:94-123).
-    Fr acc = FR_ONE_M;
-    for (u32 i = 0; i < n; ++i) {
-      acc = fr_mul(acc, diffs[i]);
-      prefix[i] = acc;
-    }
-    if (fr_is_zero(acc)) {
-      err.store(4);
-      return;
-    }
-    Fr inv = fr_inv(acc);
-    // Backward pass, accumulating sum += e_i * w_i * inv_i directly.
-    Fr sum;
-    memset(sum.v, 0, sizeof(sum.v));
-    for (int i = (int)n - 1; i > 0; --i) {
-      Fr inv_i = fr_mul(inv, prefix[i - 1]);
-      inv = fr_mul(inv, diffs[i]);
-      sum = fr_add(sum, fr_mul(fr_mul(elems[i], ctx->roots[i]), inv_i));
-    }
-    sum = fr_add(sum, fr_mul(fr_mul(elems[0], ctx->roots[0]), inv));
-    // y = sum * inv_n * (x^n - 1);  n is a power of two.
-    Fr xn = x;
-    for (u32 m = n; m > 1; m >>= 1) xn = fr_mul(xn, xn);
-    Fr y = fr_mul(fr_mul(sum, ctx->inv_n), fr_sub(xn, FR_ONE_M));
-    fr_to_be(y, ys_out + 32 * bi);
-  });
+    });
+  for (auto &t : threads) t.join();
   return err.load();
 }
 

@@ -113,6 +113,24 @@ def test_g1_lincomb():
     assert nat.g1_lincomb_naive([], []) is None
 
 
+def test_g1_lincomb_pippenger_sizes_and_edge_scalars():
+    # Sizes straddling the naive threshold and the window-size table;
+    # scalars hitting the signed-digit boundaries (0, 1, r-1, top-bit and
+    # repeated 10000... window patterns that force digit == 2^(c-1) carries).
+    edge = [0, 1, gc.R - 1, 1 << 254, (gc.R - 1) >> 1]
+    pat = 0
+    for i in range(0, 255, 5):
+        pat |= 1 << i
+    edge.append(pat % gc.R)
+    for n in (7, 16, 40, 150):
+        pts = [rand_g1() for _ in range(n)]
+        pts[n // 2] = None
+        scs = [rng.randrange(gc.R) for _ in range(n)]
+        for j, e in enumerate(edge):
+            scs[j % n] = e
+        assert nat.g1_lincomb_naive(pts, scs) == gc.g1_lincomb_naive(pts, scs)
+
+
 def test_pairing_bilinearity_and_negatives():
     a = rng.randrange(1, gc.R)
     b = rng.randrange(1, gc.R)
