@@ -78,11 +78,25 @@ class JaxBackend(GoldenBackend):
         # blob bytes then never cross it).  "auto" prefers the native host
         # path when the native runtime is present.
         mode = os.environ.get("KZG_TPU_EVAL", "auto")
-        bary_native = None
-        if mode != "device":
-            bary_native = self._bary_native_ctx(settings)
-            if bary_native is None and mode == "host":
+        if mode in ("auto", "host"):
+            fused = self._verify_native_ctx(settings)
+            if fused is not None:
+                for b in blobs:
+                    if len(b) != preset.bytes_per_blob:
+                        raise BadArgs("blob_to_polynomial: invalid blob length")
+                return fused.verify(
+                    b"".join(bytes(b) for b in blobs),
+                    n,
+                    b"".join(bytes(b) for b in commitments_bytes),
+                    b"".join(bytes(b) for b in proofs_bytes),
+                )
+            if mode == "host":
                 raise RuntimeError("KZG_TPU_EVAL=host but native runtime unavailable")
+        bary_native = None
+        if mode == "host-piecewise":
+            bary_native = self._bary_native_ctx(settings)
+            if bary_native is None:
+                raise RuntimeError("KZG_TPU_EVAL=host-piecewise but native runtime unavailable")
 
         # 1. Parse every commitment/proof on host (on-curve + flag
         #    validation, parallel in the native runtime).
@@ -335,6 +349,25 @@ class JaxBackend(GoldenBackend):
         key = ("bary_native", id(settings))
         if key not in self._ctx:
             self._ctx[key] = hostcrypto.bary_ctx(settings.roots_of_unity)
+        return self._ctx[key]
+
+    def _verify_native_ctx(self, settings):
+        """Fused native batch-verification context, or None."""
+        key = ("verify_native", id(settings))
+        if key not in self._ctx:
+            from ..golden import curve as gcurve
+            from ..presets import (
+                FIAT_SHAMIR_PROTOCOL_DOMAIN,
+                RANDOM_CHALLENGE_KZG_BATCH_DOMAIN,
+            )
+
+            self._ctx[key] = hostcrypto.verify_ctx(
+                settings.roots_of_unity,
+                settings.g2_values[1],
+                gcurve.G2_GENERATOR,
+                FIAT_SHAMIR_PROTOCOL_DOMAIN,
+                RANDOM_CHALLENGE_KZG_BATCH_DOMAIN,
+            )
         return self._ctx[key]
 
     def _gen_table(self):

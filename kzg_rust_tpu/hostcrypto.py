@@ -124,3 +124,12 @@ def bary_ctx(roots_of_unity):
     if n is None:
         return None
     return n.BaryCtx(roots_of_unity)
+
+
+def verify_ctx(roots_of_unity, g2_s, g2_gen, fs_domain: bytes, rc_domain: bytes):
+    """A reusable fused batch-verification context, or None when the native
+    runtime is unavailable."""
+    n = _nat()
+    if n is None:
+        return None
+    return n.VerifyCtx(roots_of_unity, g2_s, g2_gen, fs_domain, rc_domain)

@@ -24,7 +24,7 @@ import threading
 
 _REPO_ROOT = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 _SRC = os.path.join(_REPO_ROOT, "native", "kzg_native.cpp")
-_ABI_VERSION = 3
+_ABI_VERSION = 4
 
 _lib = None
 _lib_lock = threading.Lock()
@@ -344,5 +344,68 @@ class BaryCtx:
     def __del__(self):
         try:
             self._lib.kzg_bary_ctx_free(ctypes.c_void_p(self._handle))
+        except Exception:
+            pass
+
+
+def sha256(data: bytes) -> bytes:
+    """Native SHA-256 (differential-tested against hashlib)."""
+    lib = _load()
+    out = (ctypes.c_uint8 * 32)()
+    lib.kzg_sha256(data, ctypes.c_uint64(len(data)), out)
+    return bytes(out)
+
+
+# ---------------------------------------------------------------------------
+# Fused batch verification context
+# ---------------------------------------------------------------------------
+
+
+class VerifyCtx:
+    """One-call native verify_blob_kzg_proof_batch hot section (reference:
+    kzg.rs:637-693 + :579-627): point validation, Fiat-Shamir challenges,
+    barycentric evaluations, RLC combination and the single pairing check,
+    all inside one GIL-free native region."""
+
+    _ERRORS = {
+        1: "validate_kzg_g1: malformed commitment encoding",
+        2: "bytes_to_bls_field: Invalid Bytes32",
+        4: "fr_batch_inv: zero input",
+        5: "validate_kzg_g1: malformed proof encoding",
+        6: "validate_kzg_g1 not in right subgroup",
+    }
+
+    def __init__(self, roots_of_unity, g2_s, g2_gen, fs_domain: bytes, rc_domain: bytes):
+        lib = _load()
+        n = len(roots_of_unity)
+        roots = b"".join(w.to_bytes(32, "big") for w in roots_of_unity)
+        g2s_b, g2s_inf = _g2_to_bytes(g2_s)
+        g2g_b, g2g_inf = _g2_to_bytes(g2_gen)
+        lib.kzg_verify_ctx_new.restype = ctypes.c_void_p
+        handle = lib.kzg_verify_ctx_new(
+            n, roots, g2s_b, g2s_inf, g2g_b, g2g_inf, bytes(fs_domain), bytes(rc_domain)
+        )
+        if not handle:
+            raise ValueError("verify_ctx: bad inputs")
+        self._handle = handle
+        self._lib = lib
+
+    def verify(self, blobs_bytes: bytes, nb: int, comms: bytes, proofs: bytes) -> bool:
+        """blobs_bytes: nb*n*32; comms/proofs: nb*48 compressed points.
+        Raises BadArgs on invalid inputs (same cases as the piecewise path)."""
+        from ..errors import BadArgs
+
+        ok = ctypes.c_int()
+        rc = self._lib.kzg_verify_blob_batch(
+            ctypes.c_void_p(self._handle), blobs_bytes, nb, comms, proofs,
+            ctypes.byref(ok),
+        )
+        if rc:
+            raise BadArgs(self._ERRORS.get(rc, f"verify_blob_batch failed ({rc})"))
+        return ok.value == 1
+
+    def __del__(self):
+        try:
+            self._lib.kzg_verify_ctx_free(ctypes.c_void_p(self._handle))
         except Exception:
             pass

@@ -30,6 +30,10 @@
 #include <thread>
 #include <vector>
 
+#if defined(__x86_64__)
+#include <immintrin.h>
+#endif
+
 typedef unsigned __int128 u128;
 typedef uint64_t u64;
 typedef uint32_t u32;
@@ -93,6 +97,170 @@ static void to_be(const u64 *in, int nbytes, u8 *out) {
     out[i] = (u8)(in[bit / 64] >> (bit % 64));
   }
 }
+
+// ===========================================================================
+// SHA-256 (FIPS 180-4) - streaming, with an SHA-NI fast path.
+//
+// The reference's Fiat-Shamir hashing is blst_sha256 over ~131KB preimages
+// per blob (kzg.rs:331-337, utils.rs:469-471); hashing in the native batch
+// call keeps the whole verification in one GIL-free region.
+// ===========================================================================
+
+static const u32 SHA256_K[64] = {
+    0x428a2f98, 0x71374491, 0xb5c0fbcf, 0xe9b5dba5, 0x3956c25b, 0x59f111f1,
+    0x923f82a4, 0xab1c5ed5, 0xd807aa98, 0x12835b01, 0x243185be, 0x550c7dc3,
+    0x72be5d74, 0x80deb1fe, 0x9bdc06a7, 0xc19bf174, 0xe49b69c1, 0xefbe4786,
+    0x0fc19dc6, 0x240ca1cc, 0x2de92c6f, 0x4a7484aa, 0x5cb0a9dc, 0x76f988da,
+    0x983e5152, 0xa831c66d, 0xb00327c8, 0xbf597fc7, 0xc6e00bf3, 0xd5a79147,
+    0x06ca6351, 0x14292967, 0x27b70a85, 0x2e1b2138, 0x4d2c6dfc, 0x53380d13,
+    0x650a7354, 0x766a0abb, 0x81c2c92e, 0x92722c85, 0xa2bfe8a1, 0xa81a664b,
+    0xc24b8b70, 0xc76c51a3, 0xd192e819, 0xd6990624, 0xf40e3585, 0x106aa070,
+    0x19a4c116, 0x1e376c08, 0x2748774c, 0x34b0bcb5, 0x391c0cb3, 0x4ed8aa4a,
+    0x5b9cca4f, 0x682e6ff3, 0x748f82ee, 0x78a5636f, 0x84c87814, 0x8cc70208,
+    0x90befffa, 0xa4506ceb, 0xbef9a3f7, 0xc67178f2};
+
+static inline u32 rotr32(u32 x, int n) { return (x >> n) | (x << (32 - n)); }
+
+static void sha256_compress_scalar(u32 state[8], const u8 *block, size_t nblk) {
+  for (size_t b = 0; b < nblk; ++b, block += 64) {
+    u32 w[64];
+    for (int i = 0; i < 16; ++i)
+      w[i] = ((u32)block[4 * i] << 24) | ((u32)block[4 * i + 1] << 16) |
+             ((u32)block[4 * i + 2] << 8) | block[4 * i + 3];
+    for (int i = 16; i < 64; ++i) {
+      u32 s0 = rotr32(w[i - 15], 7) ^ rotr32(w[i - 15], 18) ^ (w[i - 15] >> 3);
+      u32 s1 = rotr32(w[i - 2], 17) ^ rotr32(w[i - 2], 19) ^ (w[i - 2] >> 10);
+      w[i] = w[i - 16] + s0 + w[i - 7] + s1;
+    }
+    u32 a = state[0], b2 = state[1], c = state[2], d = state[3];
+    u32 e = state[4], f = state[5], g = state[6], h = state[7];
+    for (int i = 0; i < 64; ++i) {
+      u32 S1 = rotr32(e, 6) ^ rotr32(e, 11) ^ rotr32(e, 25);
+      u32 ch = (e & f) ^ (~e & g);
+      u32 t1 = h + S1 + ch + SHA256_K[i] + w[i];
+      u32 S0 = rotr32(a, 2) ^ rotr32(a, 13) ^ rotr32(a, 22);
+      u32 maj = (a & b2) ^ (a & c) ^ (b2 & c);
+      u32 t2 = S0 + maj;
+      h = g; g = f; f = e; e = d + t1;
+      d = c; c = b2; b2 = a; a = t1 + t2;
+    }
+    state[0] += a; state[1] += b2; state[2] += c; state[3] += d;
+    state[4] += e; state[5] += f; state[6] += g; state[7] += h;
+  }
+}
+
+#if defined(__x86_64__) && defined(__SHA__)
+// SHA-NI compression, loop formulation: the message-schedule recurrence
+// newW = msg2(msg1(W0,W1) + alignr(W3,W2,4), W3) and round keys straight
+// from the K table, avoiding hand-paired constants.
+static void sha256_compress_ni(u32 state[8], const u8 *data, size_t nblk) {
+  const __m128i MASK =
+      _mm_set_epi64x(0x0c0d0e0f08090a0bULL, 0x0405060700010203ULL);
+  __m128i tmp = _mm_loadu_si128((const __m128i *)&state[0]);
+  __m128i st1 = _mm_loadu_si128((const __m128i *)&state[4]);
+  tmp = _mm_shuffle_epi32(tmp, 0xB1);          // CDAB
+  st1 = _mm_shuffle_epi32(st1, 0x1B);          // EFGH
+  __m128i st0 = _mm_alignr_epi8(tmp, st1, 8);  // ABEF
+  st1 = _mm_blend_epi16(st1, tmp, 0xF0);       // CDGH
+  while (nblk--) {
+    __m128i abef_save = st0, cdgh_save = st1;
+    __m128i m[4];
+    for (int i = 0; i < 4; ++i)
+      m[i] = _mm_shuffle_epi8(
+          _mm_loadu_si128((const __m128i *)(data + 16 * i)), MASK);
+    for (int r = 0; r < 64; r += 4) {
+      __m128i wk =
+          _mm_add_epi32(m[0], _mm_loadu_si128((const __m128i *)&SHA256_K[r]));
+      st1 = _mm_sha256rnds2_epu32(st1, st0, wk);
+      st0 = _mm_sha256rnds2_epu32(st0, st1, _mm_shuffle_epi32(wk, 0x0E));
+      // The quad window slides every iteration; new W values are only
+      // produced while rounds beyond r+15 still exist.
+      __m128i nm = m[0];
+      if (r < 48)
+        nm = _mm_sha256msg2_epu32(
+            _mm_add_epi32(_mm_sha256msg1_epu32(m[0], m[1]),
+                          _mm_alignr_epi8(m[3], m[2], 4)),
+            m[3]);
+      m[0] = m[1];
+      m[1] = m[2];
+      m[2] = m[3];
+      m[3] = nm;
+    }
+    st0 = _mm_add_epi32(st0, abef_save);
+    st1 = _mm_add_epi32(st1, cdgh_save);
+    data += 64;
+  }
+  tmp = _mm_shuffle_epi32(st0, 0x1B);     // FEBA
+  st1 = _mm_shuffle_epi32(st1, 0xB1);     // DCHG
+  st0 = _mm_blend_epi16(tmp, st1, 0xF0);  // DCBA
+  st1 = _mm_alignr_epi8(st1, tmp, 8);     // HGFE
+  _mm_storeu_si128((__m128i *)&state[0], st0);
+  _mm_storeu_si128((__m128i *)&state[4], st1);
+}
+#endif
+
+struct Sha256 {
+  u32 state[8];
+  u8 buf[64];
+  size_t buflen;
+  u64 total;
+  Sha256() { reset(); }
+  void reset() {
+    static const u32 IV[8] = {0x6a09e667, 0xbb67ae85, 0x3c6ef372, 0xa54ff53a,
+                              0x510e527f, 0x9b05688c, 0x1f83d9ab, 0x5be0cd19};
+    memcpy(state, IV, sizeof(IV));
+    buflen = 0;
+    total = 0;
+  }
+  static void compress(u32 st[8], const u8 *blocks, size_t nblk) {
+#if defined(__x86_64__) && defined(__SHA__)
+    sha256_compress_ni(st, blocks, nblk);
+#else
+    sha256_compress_scalar(st, blocks, nblk);
+#endif
+  }
+  void update(const u8 *data, size_t len) {
+    total += len;
+    if (buflen) {
+      size_t take = 64 - buflen;
+      if (take > len) take = len;
+      memcpy(buf + buflen, data, take);
+      buflen += take;
+      data += take;
+      len -= take;
+      if (buflen == 64) {
+        compress(state, buf, 1);
+        buflen = 0;
+      }
+    }
+    size_t nblk = len / 64;
+    if (nblk) {
+      compress(state, data, nblk);
+      data += nblk * 64;
+      len -= nblk * 64;
+    }
+    if (len) {
+      memcpy(buf, data, len);
+      buflen = len;
+    }
+  }
+  void final(u8 out[32]) {
+    u64 bits = total * 8;
+    u8 pad = 0x80;
+    update(&pad, 1);
+    u8 z = 0;
+    while (buflen != 56) update(&z, 1);
+    u8 lb[8];
+    for (int i = 0; i < 8; ++i) lb[i] = (u8)(bits >> (56 - 8 * i));
+    update(lb, 8);
+    for (int i = 0; i < 8; ++i) {
+      out[4 * i] = (u8)(state[i] >> 24);
+      out[4 * i + 1] = (u8)(state[i] >> 16);
+      out[4 * i + 2] = (u8)(state[i] >> 8);
+      out[4 * i + 3] = (u8)state[i];
+    }
+  }
+};
 
 // ===========================================================================
 // Montgomery field contexts (Fp: 6 limbs, Fr: 4 limbs)
@@ -574,6 +742,16 @@ struct G1Aff {
 
 static Fp FP_B4;    // curve b = 4, Montgomery
 static Fp FP_BETA;  // GLV endomorphism coefficient
+static Fp G1_GEN_X_M, G1_GEN_Y_M;  // G1 generator, Montgomery
+
+// Standard BLS12-381 G1 generator (consts.rs:47-78 holds the same point in
+// blst's internal representation; these are the canonical affine coords).
+static const char *G1X_HEX =
+    "17f1d3a73197d7942695638c4fa9ac0fc3688c4f9774b905a14e3a3f171bac58"
+    "6c55e83ff97a1aeffb3af00adb22c6bb";
+static const char *G1Y_HEX =
+    "08b3f481e3aaa0f1a09e30ed741d8ae4fcf5e095d5d00af600db18cb2c04b3ed"
+    "d03cc744a2888ae40caa232946c5e7e1";
 
 static G1Jac g1_jac_inf() { return {FP_ONE_M, FP_ONE_M, FP_ZERO}; }
 
@@ -971,6 +1149,11 @@ static void ensure_init() {
   u64 beta_c[6];
   from_hex<6>(BETA_HEX, beta_c);
   to_mont<6>(FP, beta_c, FP_BETA.v);
+  u64 gcoord[6];
+  from_hex<6>(G1X_HEX, gcoord);
+  to_mont<6>(FP, gcoord, G1_GEN_X_M.v);
+  from_hex<6>(G1Y_HEX, gcoord);
+  to_mont<6>(FP, gcoord, G1_GEN_Y_M.v);
   // 3*b' on the twist = 12 + 12u
   u64 twelve[6] = {12};
   Fp fp12c;
@@ -1163,7 +1346,7 @@ extern "C" {
 
 int kzg_native_abi_version() {
   ensure_init();
-  return 3;
+  return 4;
 }
 
 // ---- G1 serialization / validation ----------------------------------------
@@ -1472,6 +1655,255 @@ int kzg_bary_eval_batch(void *ctx_p, const u8 *blobs, u32 nb, const u8 *xs,
     });
   for (auto &t : threads) t.join();
   return err.load();
+}
+
+// ---- SHA-256 (exported for differential testing) ---------------------------
+
+int kzg_sha256(const u8 *data, u64 len, u8 *out32) {
+  Sha256 h;
+  h.update(data, (size_t)len);
+  h.final(out32);
+  return 0;
+}
+
+// ---- Fused batch verification ----------------------------------------------
+//
+// The complete hot section of verify_blob_kzg_proof_batch (reference:
+// kzg.rs:637-693 + :579-627) in one GIL-free native call: per-blob point
+// decode/validation + Fiat-Shamir challenge + barycentric evaluation fan
+// out across worker threads, then the RLC combination (Pippenger MSMs) and
+// the single pairing check.  Bit-exact with the piecewise path.
+
+struct VerifyCtx {
+  u32 n;                  // field elements per blob
+  std::vector<Fr> roots;  // Montgomery, bit-reversal order
+  Fr inv_n;
+  G2Aff g2_s;    // trusted-setup [s]G2 (g2_values[1])
+  G2Aff g2_gen;  // G2 generator
+  u8 fs_domain[16], rc_domain[16];
+};
+
+// dig: 32B BE digest -> value mod r, standard domain (hash_to_bls_field,
+// utils.rs:250-258: plain reduction, no canonicality rejection).
+static Fr fr_reduce_be32(const u8 *dig) {
+  Fr out;
+  from_be<4>(dig, 32, out.v);
+  while (cmp_n<4>(out.v, FR.mod) >= 0) sub_n<4>(out.v, FR.mod, out.v);
+  return out;
+}
+
+static void be64(u64 v, u8 *out) {
+  for (int i = 0; i < 8; ++i) out[i] = (u8)(v >> (56 - 8 * i));
+}
+
+void *kzg_verify_ctx_new(u32 n, const u8 *roots_be, const u8 *g2s_bytes,
+                         int g2s_inf, const u8 *g2gen_bytes, int g2gen_inf,
+                         const u8 *fs_domain, const u8 *rc_domain) {
+  ensure_init();
+  VerifyCtx *ctx = new VerifyCtx();
+  ctx->n = n;
+  ctx->roots.resize(n);
+  for (u32 i = 0; i < n; ++i)
+    if (!fr_from_be(roots_be + 32 * i, ctx->roots[i])) {
+      delete ctx;
+      return nullptr;
+    }
+  u64 nv[4] = {n};
+  Fr nm;
+  to_mont<4>(FR, nv, nm.v);
+  ctx->inv_n = fr_inv(nm);
+  if (!g2aff_from_bytes(g2s_bytes, g2s_inf, ctx->g2_s) ||
+      !g2aff_from_bytes(g2gen_bytes, g2gen_inf, ctx->g2_gen)) {
+    delete ctx;
+    return nullptr;
+  }
+  memcpy(ctx->fs_domain, fs_domain, 16);
+  memcpy(ctx->rc_domain, rc_domain, 16);
+  return ctx;
+}
+
+void kzg_verify_ctx_free(void *ctx) { delete (VerifyCtx *)ctx; }
+
+// Returns 0 and writes *out_ok on success; error codes:
+//   1 malformed commitment, 5 malformed proof, 6 subgroup failure,
+//   2 non-canonical blob element, 4 zero denominator (unreachable after
+//   the in-domain short-circuit, kept for parity with fr_batch_inv).
+int kzg_verify_blob_batch(void *ctx_p, const u8 *blobs, u32 nb,
+                          const u8 *comms, const u8 *proofs, int *out_ok) {
+  ensure_init();
+  VerifyCtx *ctx = (VerifyCtx *)ctx_p;
+  const u32 n = ctx->n;
+  std::vector<G1Aff> C(nb), P(nb);
+  std::vector<Fr> zs(nb), ys(nb);  // standard domain
+  std::atomic<int> err(0);
+  std::atomic<u32> next(0);
+  int nw = n_workers();
+  if ((u32)nw > nb) nw = (int)nb;
+  std::vector<std::thread> threads;
+  for (int t = 0; t < nw; ++t)
+    threads.emplace_back([&]() {
+      std::vector<Fr> elems(n), diffs(n), prefix(n);
+      for (;;) {
+        u32 bi = next.fetch_add(1);
+        if (bi >= nb || err.load()) break;
+        const u8 *blob = blobs + (size_t)bi * n * 32;
+        // Point decode + validation (validate_kzg_g1, utils.rs:282-310:
+        // on-curve via uncompress, infinity accepted, subgroup required).
+        if (g1_uncompress_impl(comms + 48 * bi, C[bi])) {
+          err.store(1);
+          break;
+        }
+        if (!g1_subgroup(C[bi])) {
+          err.store(6);
+          break;
+        }
+        if (g1_uncompress_impl(proofs + 48 * bi, P[bi])) {
+          err.store(5);
+          break;
+        }
+        if (!g1_subgroup(P[bi])) {
+          err.store(6);
+          break;
+        }
+        // Fiat-Shamir challenge (compute_challenge, kzg.rs:298-339).
+        Sha256 h;
+        h.update(ctx->fs_domain, 16);
+        u8 hdr[16];
+        be64(0, hdr);
+        be64(n, hdr + 8);
+        h.update(hdr, 16);
+        h.update(blob, (size_t)n * 32);
+        h.update(comms + 48 * bi, 48);
+        u8 dig[32];
+        h.final(dig);
+        Fr z_std = fr_reduce_be32(dig);
+        zs[bi] = z_std;
+        // Parse blob elements (standard domain) with canonicality check.
+        bool bad = false;
+        for (u32 i = 0; i < n; ++i) {
+          from_be<4>(blob + 32 * i, 32, elems[i].v);
+          if (cmp_n<4>(elems[i].v, FR.mod) >= 0) {
+            bad = true;
+            break;
+          }
+        }
+        if (bad) {
+          err.store(2);
+          break;
+        }
+        Fr z_m;
+        to_mont<4>(FR, z_std.v, z_m.v);
+        // Barycentric evaluation with in-domain short-circuit
+        // (kzg.rs:346-389; z == w_m returns the stored evaluation).
+        int in_dom = -1;
+        for (u32 i = 0; i < n; ++i) {
+          diffs[i] = fr_sub(z_m, ctx->roots[i]);
+          if (fr_is_zero(diffs[i])) in_dom = (int)i;
+        }
+        if (in_dom >= 0) {
+          ys[bi] = elems[in_dom];
+          continue;
+        }
+        Fr acc = FR_ONE_M;
+        for (u32 i = 0; i < n; ++i) {
+          acc = fr_mul(acc, diffs[i]);
+          prefix[i] = acc;
+        }
+        if (fr_is_zero(acc)) {
+          err.store(4);
+          break;
+        }
+        Fr inv = fr_inv(acc);
+        Fr sum;
+        memset(sum.v, 0, sizeof(sum.v));
+        for (int i = (int)n - 1; i > 0; --i) {
+          Fr inv_i = fr_mul(inv, prefix[i - 1]);
+          inv = fr_mul(inv, diffs[i]);
+          Fr ti = fr_mul(ctx->roots[i], inv_i);
+          sum = fr_add(sum, fr_mul(elems[i], ti));
+        }
+        Fr t0 = fr_mul(ctx->roots[0], inv);
+        sum = fr_add(sum, fr_mul(elems[0], t0));
+        Fr xn = z_m;
+        for (u32 m = n; m > 1; m >>= 1) xn = fr_mul(xn, xn);
+        Fr f = fr_mul(ctx->inv_n, fr_sub(xn, FR_ONE_M));
+        ys[bi] = fr_mul(sum, f);  // standard domain
+      }
+    });
+  for (auto &t : threads) t.join();
+  if (err.load()) return err.load();
+
+  // RLC challenge powers (compute_r_powers, utils.rs:426-474).
+  Sha256 h;
+  h.update(ctx->rc_domain, 16);
+  u8 hdr[16];
+  be64(n, hdr);
+  be64(nb, hdr + 8);
+  h.update(hdr, 16);
+  std::vector<u8> zb(32 * nb), yb(32 * nb);
+  for (u32 i = 0; i < nb; ++i) {
+    to_be<4>(zs[i].v, 32, &zb[32 * i]);
+    to_be<4>(ys[i].v, 32, &yb[32 * i]);
+    h.update(comms + 48 * i, 48);
+    h.update(&zb[32 * i], 32);
+    h.update(&yb[32 * i], 32);
+    h.update(proofs + 48 * i, 48);
+  }
+  u8 dig[32];
+  h.final(dig);
+  Fr r_std = fr_reduce_be32(dig);
+  Fr r_m;
+  to_mont<4>(FR, r_std.v, r_m.v);
+
+  // Scalars (BE bytes) for the MSMs: r^i, and r^i * z_i.
+  std::vector<u8> r_be(32 * nb), rz_be((size_t)32 * 2 * nb);
+  Fr pw = FR_ONE_M;  // r^0 = 1 (compute_powers, utils.rs:413-423)
+  Fr ry_m;           // sum r^i * y_i (Montgomery accumulation of std ys)
+  memset(ry_m.v, 0, sizeof(ry_m.v));
+  for (u32 i = 0; i < nb; ++i) {
+    Fr pw_std;
+    from_mont<4>(FR, pw.v, pw_std.v);
+    to_be<4>(pw_std.v, 32, &r_be[32 * i]);
+    memcpy(&rz_be[32 * i], &r_be[32 * i], 32);
+    // r^i * z_i: both std -> to_mont one side first.
+    Fr z_m;
+    to_mont<4>(FR, zs[i].v, z_m.v);
+    Fr rz = fr_mul(pw_std, z_m);  // std result
+    to_be<4>(rz.v, 32, &rz_be[32 * (nb + i)]);
+    // ry += r^i * y_i: pw_std(std) * y(std): lift y to mont then mul.
+    Fr y_m;
+    to_mont<4>(FR, ys[i].v, y_m.v);
+    ry_m = fr_add(ry_m, fr_mul(pw_std, y_m));  // std * mont = std...
+    pw = fr_mul(pw, r_m);
+  }
+  // NOTE: ry accumulated in standard domain (std*mont mul yields std).
+  Fr ry_std = ry_m;
+
+  // LHS = sum r^i proof_i ; RHS = sum r^i C_i + sum (r^i z_i) proof_i - ry*G.
+  std::vector<G1Aff> cp(2 * nb);
+  for (u32 i = 0; i < nb; ++i) cp[i] = C[i];
+  for (u32 i = 0; i < nb; ++i) cp[nb + i] = P[i];
+  G1Jac lhs = g1_msm_pippenger(P, r_be.data(), (int)nb);
+  G1Jac rhs = g1_msm_pippenger(cp, rz_be.data(), (int)(2 * nb));
+  if (!is_zero_n<4>(ry_std.v)) {
+    u8 ry_be[32];
+    to_be<4>(ry_std.v, 32, ry_be);
+    G1Jac g = {G1_GEN_X_M, G1_GEN_Y_M, FP_ONE_M};
+    G1Jac ryg = g1_mul_jac(g, ry_be, 32);
+    ryg.y = fp_neg(ryg.y);
+    rhs = g1_add_jac(rhs, ryg);
+  }
+  G1Aff lhs_a = g1_to_aff(lhs), rhs_a = g1_to_aff(rhs);
+
+  // e(lhs, [s]G2) == e(rhs, G2gen)  (pairings_verify, utils.rs:189-214).
+  if (!lhs_a.inf) lhs_a.y = fp_neg(lhs_a.y);
+  Fp12 f1 = FP12_ONE_C, f2 = FP12_ONE_C;
+  std::thread t1;
+  if (!lhs_a.inf) t1 = std::thread([&]() { f1 = miller_loop(lhs_a, ctx->g2_s); });
+  if (!rhs_a.inf) f2 = miller_loop(rhs_a, ctx->g2_gen);
+  if (t1.joinable()) t1.join();
+  *out_ok = fp12_is_one(final_exponentiation(fp12_mul(f1, f2))) ? 1 : 0;
+  return 0;
 }
 
 }  // extern "C"

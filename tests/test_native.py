@@ -131,6 +131,79 @@ def test_g1_lincomb_pippenger_sizes_and_edge_scalars():
         assert nat.g1_lincomb_naive(pts, scs) == gc.g1_lincomb_naive(pts, scs)
 
 
+def test_sha256_differential():
+    import hashlib
+
+    for size in (0, 1, 55, 56, 63, 64, 65, 127, 128, 1000, 131232):
+        data = bytes(rng.randrange(256) for _ in range(min(size, 256))) * (
+            (size + 255) // 256
+        )
+        data = data[:size]
+        assert nat.sha256(data) == hashlib.sha256(data).digest()
+
+
+def test_fused_verify_ctx():
+    """The one-call native batch verification against the golden pipeline."""
+    import pytest
+
+    from kzg_rust_tpu import Blob, Kzg
+    from kzg_rust_tpu.backends.golden_backend import GoldenBackend
+    from kzg_rust_tpu.errors import BadArgs
+    from kzg_rust_tpu.presets import (
+        FIAT_SHAMIR_PROTOCOL_DOMAIN,
+        MINIMAL,
+        RANDOM_CHALLENGE_KZG_BATCH_DOMAIN,
+    )
+    from kzg_rust_tpu.utils.testing import make_insecure_setup
+
+    settings = make_insecure_setup(MINIMAL)
+    golden = GoldenBackend()
+    fe = MINIMAL.field_elements_per_blob
+    nb = 3
+    blobs, comms, proofs = [], [], []
+    for _ in range(nb):
+        blob = Blob(
+            b"".join(b"\x00" + rng.randbytes(31) for _ in range(fe)),
+            bytes_per_blob=MINIMAL.bytes_per_blob,
+        )
+        c = Kzg.blob_to_kzg_commitment(blob, settings, golden)
+        p = Kzg.compute_blob_kzg_proof(blob, c, settings, golden)
+        blobs.append(blob)
+        comms.append(bytes(c))
+        proofs.append(bytes(p))
+
+    ctx = nat.VerifyCtx(
+        settings.roots_of_unity,
+        settings.g2_values[1],
+        gc.G2_GENERATOR,
+        FIAT_SHAMIR_PROTOCOL_DOMAIN,
+        RANDOM_CHALLENGE_KZG_BATCH_DOMAIN,
+    )
+    joined = b"".join(bytes(b) for b in blobs)
+    assert ctx.verify(joined, nb, b"".join(comms), b"".join(proofs)) is True
+    # golden agreement on the same batch
+    from kzg_rust_tpu.types import Bytes48
+
+    assert (
+        Kzg.verify_blob_kzg_proof_batch(
+            blobs, [Bytes48(c) for c in comms], [Bytes48(p) for p in proofs],
+            settings, golden,
+        )
+        is True
+    )
+    # tamper: swap proofs -> False
+    swapped = b"".join([proofs[1], proofs[0], proofs[2]])
+    assert ctx.verify(joined, nb, b"".join(comms), swapped) is False
+    # malformed commitment -> BadArgs
+    bad_comms = b"\x12" * 48 + b"".join(comms[1:])
+    with pytest.raises(BadArgs):
+        ctx.verify(joined, nb, bad_comms, b"".join(proofs))
+    # non-canonical blob element -> BadArgs
+    bad_blobs = b"\xff" * 32 + joined[32:]
+    with pytest.raises(BadArgs):
+        ctx.verify(bad_blobs, nb, b"".join(comms), b"".join(proofs))
+
+
 def test_pairing_bilinearity_and_negatives():
     a = rng.randrange(1, gc.R)
     b = rng.randrange(1, gc.R)
