@@ -284,17 +284,83 @@ class JaxBackend(GoldenBackend):
             raise BadArgs("bytes_to_bls_field Invalid Bytes32")
         return L.limbs_to_ints(ys_host[:nb])
 
-    # -- fused prover pipelines (one device dispatch per op) -------------------
+    # -- fused single verification (native host path) --------------------------
+
+    def verify_kzg_proof_pipeline(
+        self, settings, commitment_bytes, z_bytes, y_bytes, proof_bytes
+    ):
+        """Fused ``verify_kzg_proof`` on the native runtime (reference:
+        kzg.rs:429-443) — one GIL-free call instead of several host<->native
+        crossings.  Falls through (NotImplemented) to the piecewise path
+        when the native runtime is absent or disabled."""
+        if os.environ.get("KZG_TPU_EVAL", "auto") not in ("auto", "host"):
+            return NotImplemented
+        fused = self._verify_native_ctx(settings)
+        if fused is None:
+            return NotImplemented
+        if len(commitment_bytes) != 48 or len(proof_bytes) != 48:
+            return NotImplemented  # piecewise path raises the exact error
+        if len(z_bytes) != 32 or len(y_bytes) != 32:
+            return NotImplemented
+        return fused.verify_single(
+            bytes(commitment_bytes), bytes(z_bytes), bytes(y_bytes), bytes(proof_bytes)
+        )
+
+    def verify_blob_pipeline(self, settings, blob, commitment_bytes, proof_bytes):
+        """Fused ``verify_blob_kzg_proof`` on the native runtime (reference:
+        kzg.rs:547-569): challenge + barycentric + pairing without the
+        host<->device round-trip that dominates single-op latency on a
+        tunneled device."""
+        if os.environ.get("KZG_TPU_EVAL", "auto") not in ("auto", "host"):
+            return NotImplemented
+        fused = self._verify_native_ctx(settings)
+        if fused is None:
+            return NotImplemented
+        if len(blob) != settings.preset.bytes_per_blob:
+            raise BadArgs("blob_to_polynomial: invalid blob length")
+        if len(commitment_bytes) != 48 or len(proof_bytes) != 48:
+            return NotImplemented
+        return fused.verify_blob_single(
+            bytes(blob), bytes(commitment_bytes), bytes(proof_bytes)
+        )
+
+    # -- fused prover pipelines (one native call / one device dispatch) --------
+
+    def _prover_native_ctx(self, settings):
+        """Native fused prover context for this setup, or None."""
+        key = ("prover_native", id(settings))
+        if key not in self._ctx:
+            from ..presets import FIAT_SHAMIR_PROTOCOL_DOMAIN
+
+            self._ctx[key] = hostcrypto.prover_ctx(
+                settings.roots_of_unity,
+                settings.g1_values,
+                FIAT_SHAMIR_PROTOCOL_DOMAIN,
+            )
+        return self._ctx[key]
 
     def blob_to_commitment_pipeline(self, settings, blob):
         """Single-dispatch ``blob_to_kzg_commitment`` (reference:
-        kzg.rs:396-406): numpy ingestion -> fused recode+MSM kernel ->
-        affine decode.  Falls back for tiny presets (reference itself goes
-        naive below 8 points, utils.rs:369-371)."""
+        kzg.rs:396-406).  Placement mirrors the batch verifier: the native
+        host runtime when present (``KZG_TPU_PROVER=auto|host`` — the
+        host<->device link latency exceeds the whole Pippenger MSM there),
+        else one fused device dispatch (numpy ingestion -> recode+MSM
+        kernel -> affine decode).  Falls back for tiny presets (reference
+        itself goes naive below 8 points, utils.rs:369-371)."""
         import jax.numpy as jnp
 
         from ..ops import curve as C
         from ..ops import prover_kernels as PR
+
+        mode = os.environ.get("KZG_TPU_PROVER", "auto")
+        if mode in ("auto", "host"):
+            native = self._prover_native_ctx(settings)
+            if native is not None:
+                if len(blob) != settings.preset.bytes_per_blob:
+                    raise BadArgs("blob_to_polynomial: invalid blob length")
+                return native.commit(bytes(blob))
+            if mode == "host":
+                raise RuntimeError("KZG_TPU_PROVER=host but native runtime unavailable")
 
         ctx = self._msm_ctx(settings)
         if ctx is None:
@@ -308,7 +374,8 @@ class JaxBackend(GoldenBackend):
 
     def compute_kzg_proof_pipeline(self, settings, blob, z: int):
         """Single-dispatch ``compute_kzg_proof_impl`` (reference:
-        kzg.rs:461-528): ingestion -> fused eval/quotient/MSM kernel ->
+        kzg.rs:461-528): one native call (eval + quotient + Pippenger MSM),
+        or on the device path ingestion -> fused eval/quotient/MSM kernel ->
         (proof point, y)."""
         import jax.numpy as jnp
 
@@ -316,6 +383,16 @@ class JaxBackend(GoldenBackend):
         from ..ops import limbs as L
         from ..ops import prover_kernels as PR
         from ..ops.fields import FR
+
+        mode = os.environ.get("KZG_TPU_PROVER", "auto")
+        if mode in ("auto", "host"):
+            native = self._prover_native_ctx(settings)
+            if native is not None:
+                if len(blob) != settings.preset.bytes_per_blob:
+                    raise BadArgs("blob_to_polynomial: invalid blob length")
+                return native.prove(bytes(blob), z.to_bytes(32, "big"))
+            if mode == "host":
+                raise RuntimeError("KZG_TPU_PROVER=host but native runtime unavailable")
 
         ctx = self._msm_ctx(settings)
         if ctx is None:

@@ -133,3 +133,12 @@ def verify_ctx(roots_of_unity, g2_s, g2_gen, fs_domain: bytes, rc_domain: bytes)
     if n is None:
         return None
     return n.VerifyCtx(roots_of_unity, g2_s, g2_gen, fs_domain, rc_domain)
+
+
+def prover_ctx(roots_of_unity, g1_lagrange, fs_domain: bytes):
+    """A reusable fused prover context (commit / prove / blob-proof over the
+    Lagrange setup), or None when the native runtime is unavailable."""
+    n = _nat()
+    if n is None:
+        return None
+    return n.ProverCtx(roots_of_unity, g1_lagrange, fs_domain)

@@ -24,7 +24,7 @@ import threading
 
 _REPO_ROOT = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 _SRC = os.path.join(_REPO_ROOT, "native", "kzg_native.cpp")
-_ABI_VERSION = 4
+_ABI_VERSION = 5
 
 _lib = None
 _lib_lock = threading.Lock()
@@ -370,6 +370,7 @@ class VerifyCtx:
     _ERRORS = {
         1: "validate_kzg_g1: malformed commitment encoding",
         2: "bytes_to_bls_field: Invalid Bytes32",
+        3: "bytes_to_bls_field: Invalid Bytes32",
         4: "fr_batch_inv: zero input",
         5: "validate_kzg_g1: malformed proof encoding",
         6: "validate_kzg_g1 not in right subgroup",
@@ -404,8 +405,127 @@ class VerifyCtx:
             raise BadArgs(self._ERRORS.get(rc, f"verify_blob_batch failed ({rc})"))
         return ok.value == 1
 
+    def verify_single(self, comm48: bytes, z32: bytes, y32: bytes, proof48: bytes) -> bool:
+        """Fused verify_kzg_proof (reference: kzg.rs:429-443): decode +
+        validation + the pairing equation in one native call."""
+        from ..errors import BadArgs
+
+        ok = ctypes.c_int()
+        rc = self._lib.kzg_verify_single(
+            ctypes.c_void_p(self._handle), comm48, z32, y32, proof48,
+            ctypes.byref(ok),
+        )
+        if rc:
+            raise BadArgs(self._ERRORS.get(rc, f"verify_single failed ({rc})"))
+        return ok.value == 1
+
+    def verify_blob_single(self, blob_bytes: bytes, comm48: bytes, proof48: bytes) -> bool:
+        """Fused verify_blob_kzg_proof (reference: kzg.rs:547-569):
+        challenge + barycentric + pairing in one native call."""
+        from ..errors import BadArgs
+
+        ok = ctypes.c_int()
+        rc = self._lib.kzg_verify_blob_single(
+            ctypes.c_void_p(self._handle), blob_bytes, comm48, proof48,
+            ctypes.byref(ok),
+        )
+        if rc:
+            raise BadArgs(self._ERRORS.get(rc, f"verify_blob_single failed ({rc})"))
+        return ok.value == 1
+
     def __del__(self):
         try:
             self._lib.kzg_verify_ctx_free(ctypes.c_void_p(self._handle))
+        except Exception:
+            pass
+
+
+# ---------------------------------------------------------------------------
+# Fused prover context
+# ---------------------------------------------------------------------------
+
+
+class ProverCtx:
+    """One-call native prover ops over a persistent Lagrange-setup context:
+    blob_to_kzg_commitment, compute_kzg_proof, compute_blob_kzg_proof
+    (reference: kzg.rs:396-406, :446-544).  The MSM is the same Pippenger
+    bucket method the batch verifier uses; results are bit-identical to the
+    golden model (differential-tested in tests/test_native.py)."""
+
+    _ERRORS = {
+        1: "validate_kzg_g1: malformed commitment encoding",
+        2: "bytes_to_bls_field: Invalid Bytes32",
+        3: "bytes_to_bls_field: Invalid Bytes32",
+        4: "fr_batch_inv: zero input",
+        6: "validate_kzg_g1 not in right subgroup",
+    }
+
+    def __init__(self, roots_of_unity, g1_lagrange, fs_domain: bytes):
+        lib = _load()
+        n = len(roots_of_unity)
+        if len(g1_lagrange) != n:
+            raise ValueError("prover_ctx: |g1_lagrange| != |roots|")
+        roots = b"".join(w.to_bytes(32, "big") for w in roots_of_unity)
+        pts = bytearray(96 * n)
+        infs = bytearray(n)
+        for i, p in enumerate(g1_lagrange):
+            b, inf = _g1_to_bytes(p)
+            pts[96 * i : 96 * (i + 1)] = b
+            infs[i] = inf
+        lib.kzg_prover_ctx_new.restype = ctypes.c_void_p
+        handle = lib.kzg_prover_ctx_new(
+            n, roots, bytes(pts), bytes(infs), bytes(fs_domain)
+        )
+        if not handle:
+            raise ValueError("prover_ctx: bad inputs")
+        self._handle = handle
+        self._lib = lib
+
+    def _raise(self, rc: int, what: str):
+        from ..errors import BadArgs
+
+        raise BadArgs(self._ERRORS.get(rc, f"{what} failed ({rc})"))
+
+    def commit(self, blob_bytes: bytes):
+        """blob -> commitment point (reference: kzg.rs:396-406)."""
+        out = (ctypes.c_uint8 * 96)()
+        inf = ctypes.c_int()
+        rc = self._lib.kzg_prover_commit(
+            ctypes.c_void_p(self._handle), blob_bytes, out, ctypes.byref(inf)
+        )
+        if rc:
+            self._raise(rc, "prover_commit")
+        return _g1_from_bytes(out, inf.value)
+
+    def prove(self, blob_bytes: bytes, z32: bytes):
+        """compute_kzg_proof -> (proof point, y int)
+        (reference: kzg.rs:446-457)."""
+        out = (ctypes.c_uint8 * 96)()
+        inf = ctypes.c_int()
+        y = (ctypes.c_uint8 * 32)()
+        rc = self._lib.kzg_prover_prove(
+            ctypes.c_void_p(self._handle), blob_bytes, z32, out,
+            ctypes.byref(inf), y,
+        )
+        if rc:
+            self._raise(rc, "prover_prove")
+        return _g1_from_bytes(out, inf.value), int.from_bytes(bytes(y), "big")
+
+    def blob_proof(self, blob_bytes: bytes, comm48: bytes):
+        """compute_blob_kzg_proof -> proof point
+        (reference: kzg.rs:533-544)."""
+        out = (ctypes.c_uint8 * 96)()
+        inf = ctypes.c_int()
+        rc = self._lib.kzg_prover_blob_proof(
+            ctypes.c_void_p(self._handle), blob_bytes, comm48, out,
+            ctypes.byref(inf),
+        )
+        if rc:
+            self._raise(rc, "prover_blob_proof")
+        return _g1_from_bytes(out, inf.value)
+
+    def __del__(self):
+        try:
+            self._lib.kzg_prover_ctx_free(ctypes.c_void_p(self._handle))
         except Exception:
             pass

@@ -123,6 +123,11 @@ def verify_kzg_proof(
     backend,
 ) -> bool:
     """reference: kzg.rs:429-443."""
+    pipe = getattr(backend, "verify_kzg_proof_pipeline", None)
+    if pipe is not None:
+        out = pipe(settings, commitment_bytes, z_bytes, y_bytes, proof_bytes)
+        if out is not NotImplemented:
+            return out
     commitment = serde.bytes_to_kzg_commitment(commitment_bytes)
     z = serde.bytes_to_bls_field(z_bytes)
     y = serde.bytes_to_bls_field(y_bytes)
@@ -134,6 +139,11 @@ def verify_blob_kzg_proof(
     settings: KzgSettings, blob: bytes, commitment_bytes: bytes, proof_bytes: bytes, backend
 ) -> bool:
     """reference: kzg.rs:547-569."""
+    pipe = getattr(backend, "verify_blob_pipeline", None)
+    if pipe is not None:
+        out = pipe(settings, blob, commitment_bytes, proof_bytes)
+        if out is not NotImplemented:
+            return out
     commitment = serde.bytes_to_kzg_commitment(commitment_bytes)
     evals = blob_to_polynomial(settings, blob)
     challenge = serde.compute_challenge(settings.preset, blob, commitment_bytes)

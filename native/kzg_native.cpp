@@ -1346,7 +1346,7 @@ extern "C" {
 
 int kzg_native_abi_version() {
   ensure_init();
-  return 4;
+  return 5;
 }
 
 // ---- G1 serialization / validation ----------------------------------------
@@ -1904,6 +1904,343 @@ int kzg_verify_blob_batch(void *ctx_p, const u8 *blobs, u32 nb,
   if (t1.joinable()) t1.join();
   *out_ok = fp12_is_one(final_exponentiation(fp12_mul(f1, f2))) ? 1 : 0;
   return 0;
+}
+
+// ---- Fused prover ----------------------------------------------------------
+//
+// blob_to_kzg_commitment / compute_kzg_proof / compute_blob_kzg_proof
+// (reference: kzg.rs:396-406, :446-544) as single native calls over a
+// persistent context holding the Lagrange setup points.  The MSM is the
+// same Pippenger bucket method used by the batch verifier; the barycentric
+// and quotient field work mirrors the golden model bit-exactly.
+
+struct ProverCtx {
+  u32 n;
+  std::vector<Fr> roots;   // Montgomery, bit-reversal order
+  Fr inv_n;
+  std::vector<G1Aff> pts;  // Lagrange setup points, bit-reversal order
+  u8 fs_domain[16];
+};
+
+static inline Fr fr_neg(const Fr &a) {
+  Fr z;
+  memset(z.v, 0, sizeof(z.v));
+  return fr_sub(z, a);
+}
+
+// Montgomery batch inversion in place (reference: fr_batch_inv,
+// utils.rs:94-123 - zero inputs detected only via the running product).
+static bool fr_batch_inv_vec(std::vector<Fr> &v) {
+  const size_t n = v.size();
+  std::vector<Fr> prefix(n);
+  Fr acc = FR_ONE_M;
+  for (size_t i = 0; i < n; ++i) {
+    acc = fr_mul(acc, v[i]);
+    prefix[i] = acc;
+  }
+  if (fr_is_zero(acc)) return false;
+  Fr inv = fr_inv(acc);
+  for (size_t i = n; i-- > 1;) {
+    Fr cur = fr_mul(inv, prefix[i - 1]);
+    inv = fr_mul(inv, v[i]);
+    v[i] = cur;
+  }
+  v[0] = inv;
+  return true;
+}
+
+// Parse + canonicality-check every blob element into standard domain
+// (blob_to_polynomial, kzg.rs:282-291; bytes_to_bls_field rejects >= r,
+// utils.rs:262-275).
+static bool blob_elems_std(const u8 *blob, u32 n, std::vector<Fr> &elems) {
+  std::atomic<int> bad(0);
+  parallel_for((int)n, [&](int i) {
+    from_be<4>(blob + 32 * i, 32, elems[i].v);
+    if (cmp_n<4>(elems[i].v, FR.mod) >= 0) bad.store(1);
+  });
+  return !bad.load();
+}
+
+// Barycentric evaluation of one blob at z (Montgomery), with the in-domain
+// short-circuit (kzg.rs:346-389, :360-362).  elems are standard domain;
+// writes y in standard domain.  Returns 0 ok, 4 zero denominator.
+static int bary_eval_one(const std::vector<Fr> &roots, const Fr &inv_n, u32 n,
+                         const std::vector<Fr> &elems, const Fr &z_m,
+                         Fr &y_out) {
+  std::vector<Fr> diffs(n), prefix(n);
+  int in_dom = -1;
+  for (u32 i = 0; i < n; ++i) {
+    diffs[i] = fr_sub(z_m, roots[i]);
+    if (fr_is_zero(diffs[i])) in_dom = (int)i;
+  }
+  if (in_dom >= 0) {
+    y_out = elems[in_dom];
+    return 0;
+  }
+  Fr acc = FR_ONE_M;
+  for (u32 i = 0; i < n; ++i) {
+    acc = fr_mul(acc, diffs[i]);
+    prefix[i] = acc;
+  }
+  if (fr_is_zero(acc)) return 4;
+  Fr inv = fr_inv(acc);
+  Fr sum;
+  memset(sum.v, 0, sizeof(sum.v));
+  for (int i = (int)n - 1; i > 0; --i) {
+    Fr inv_i = fr_mul(inv, prefix[i - 1]);
+    inv = fr_mul(inv, diffs[i]);
+    Fr ti = fr_mul(roots[i], inv_i);
+    sum = fr_add(sum, fr_mul(elems[i], ti));
+  }
+  Fr t0 = fr_mul(roots[0], inv);
+  sum = fr_add(sum, fr_mul(elems[0], t0));
+  Fr xn = z_m;
+  for (u32 m = n; m > 1; m >>= 1) xn = fr_mul(xn, xn);
+  Fr f = fr_mul(inv_n, fr_sub(xn, FR_ONE_M));
+  y_out = fr_mul(sum, f);  // standard domain
+  return 0;
+}
+
+// compute_kzg_proof_impl (reference: kzg.rs:461-528).  z arrives Montgomery
+// (already canonical); writes the proof point and optionally y (BE bytes).
+static int prover_prove_impl(ProverCtx *ctx, const u8 *blob, const Fr &z_m,
+                             u8 *out_xy, int *out_inf, u8 *y_be_out) {
+  const u32 n = ctx->n;
+  std::vector<Fr> elems(n);
+  if (!blob_elems_std(blob, n, elems)) return 2;
+
+  // w_i - z, with in-domain detection (kzg.rs:360-362, :471).
+  std::vector<Fr> den(n);
+  int in_dom = -1;
+  for (u32 i = 0; i < n; ++i) {
+    den[i] = fr_sub(ctx->roots[i], z_m);
+    if (fr_is_zero(den[i])) in_dom = (int)i;
+  }
+
+  Fr y;                  // standard domain
+  std::vector<Fr> q(n);  // standard domain
+  if (in_dom < 0) {
+    // Out-of-domain: y barycentric, q_i = (e_i - y)/(w_i - z)
+    // (kzg.rs:346-389, :468-491).  den becomes inv(w_i - z).
+    if (!fr_batch_inv_vec(den)) return 4;
+    Fr sum;
+    memset(sum.v, 0, sizeof(sum.v));
+    for (u32 i = 0; i < n; ++i) {
+      // 1/(z - w_i) = -(1/(w_i - z))
+      Fr ti = fr_mul(ctx->roots[i], fr_neg(den[i]));
+      sum = fr_add(sum, fr_mul(elems[i], ti));
+    }
+    Fr xn = z_m;
+    for (u32 m = n; m > 1; m >>= 1) xn = fr_mul(xn, xn);
+    Fr f = fr_mul(ctx->inv_n, fr_sub(xn, FR_ONE_M));
+    y = fr_mul(sum, f);
+    for (u32 i = 0; i < n; ++i)
+      q[i] = fr_mul(fr_sub(elems[i], y), den[i]);
+  } else {
+    // In-domain z == w_m: q_i = (e_i - y)/(w_i - z) for i != m,
+    // q_m = sum_{i != m} (e_i - y) * w_i / (z * (z - w_i))
+    // (kzg.rs:471-523).
+    const u32 m = (u32)in_dom;
+    y = elems[m];
+    den[m] = FR_ONE_M;
+    std::vector<Fr> den2(n);
+    for (u32 i = 0; i < n; ++i)
+      den2[i] = (i == m) ? FR_ONE_M : fr_mul(fr_sub(z_m, ctx->roots[i]), z_m);
+    if (!fr_batch_inv_vec(den)) return 4;
+    if (!fr_batch_inv_vec(den2)) return 4;
+    Fr qm;
+    memset(qm.v, 0, sizeof(qm.v));
+    for (u32 i = 0; i < n; ++i) {
+      if (i == m) continue;
+      q[i] = fr_mul(fr_sub(elems[i], y), den[i]);
+      Fr t = fr_mul(fr_sub(elems[i], y), ctx->roots[i]);
+      qm = fr_add(qm, fr_mul(t, den2[i]));
+    }
+    q[m] = qm;
+  }
+
+  // MSM over the quotient (g1_lincomb_fast, utils.rs:367-410).  q is
+  // standard domain, so its raw limbs ARE the scalar values.
+  std::vector<u8> scal(32 * (size_t)n);
+  parallel_for((int)n, [&](int i) { to_be<4>(q[i].v, 32, &scal[32 * (size_t)i]); });
+  G1Jac acc = g1_msm_pippenger(ctx->pts, scal.data(), (int)n);
+  g1aff_to_bytes(g1_to_aff(acc), out_xy, out_inf);
+  if (y_be_out) to_be<4>(y.v, 32, y_be_out);
+  return 0;
+}
+
+void *kzg_prover_ctx_new(u32 n, const u8 *roots_be, const u8 *pts_xy,
+                         const u8 *infs, const u8 *fs_domain) {
+  ensure_init();
+  ProverCtx *ctx = new ProverCtx();
+  ctx->n = n;
+  ctx->roots.resize(n);
+  for (u32 i = 0; i < n; ++i)
+    if (!fr_from_be(roots_be + 32 * i, ctx->roots[i])) {
+      delete ctx;
+      return nullptr;
+    }
+  u64 nv[4] = {n};
+  Fr nm;
+  to_mont<4>(FR, nv, nm.v);
+  ctx->inv_n = fr_inv(nm);
+  ctx->pts.resize(n);
+  std::atomic<int> bad(0);
+  parallel_for((int)n, [&](int i) {
+    if (!g1aff_from_bytes(pts_xy + 96 * (size_t)i, infs[i], ctx->pts[i]))
+      bad.store(1);
+  });
+  if (bad.load()) {
+    delete ctx;
+    return nullptr;
+  }
+  memcpy(ctx->fs_domain, fs_domain, 16);
+  return ctx;
+}
+
+void kzg_prover_ctx_free(void *ctx) { delete (ProverCtx *)ctx; }
+
+// blob -> commitment point (kzg.rs:396-406).  Canonical blob bytes ARE the
+// BE scalar array, so after the canonicality check they feed the MSM
+// directly.  Returns 0 ok, 2 non-canonical blob element.
+int kzg_prover_commit(void *ctx_p, const u8 *blob, u8 *out_xy, int *out_inf) {
+  ensure_init();
+  ProverCtx *ctx = (ProverCtx *)ctx_p;
+  std::vector<Fr> elems(ctx->n);
+  if (!blob_elems_std(blob, ctx->n, elems)) return 2;
+  G1Jac acc = g1_msm_pippenger(ctx->pts, blob, (int)ctx->n);
+  g1aff_to_bytes(g1_to_aff(acc), out_xy, out_inf);
+  return 0;
+}
+
+// compute_kzg_proof (kzg.rs:446-457).  Returns 0 ok, 2 bad blob element,
+// 3 non-canonical z, 4 zero denominator.
+int kzg_prover_prove(void *ctx_p, const u8 *blob, const u8 *z_be, u8 *out_xy,
+                     int *out_inf, u8 *y_be_out) {
+  ensure_init();
+  ProverCtx *ctx = (ProverCtx *)ctx_p;
+  Fr z_m;
+  if (!fr_from_be(z_be, z_m)) return 3;
+  return prover_prove_impl(ctx, blob, z_m, out_xy, out_inf, y_be_out);
+}
+
+// compute_blob_kzg_proof (kzg.rs:533-544): challenge then proof, y
+// discarded.  Returns 0 ok, 1 malformed commitment, 6 subgroup failure,
+// 2 bad blob element, 4 zero denominator.
+int kzg_prover_blob_proof(void *ctx_p, const u8 *blob, const u8 *comm48,
+                          u8 *out_xy, int *out_inf) {
+  ensure_init();
+  ProverCtx *ctx = (ProverCtx *)ctx_p;
+  // compute_challenge validates the commitment BEFORE hashing
+  // (kzg.rs:320-323).
+  G1Aff c;
+  if (g1_uncompress_impl(comm48, c)) return 1;
+  if (!g1_subgroup(c)) return 6;
+  Sha256 h;
+  h.update(ctx->fs_domain, 16);
+  u8 hdr[16];
+  be64(0, hdr);
+  be64(ctx->n, hdr + 8);
+  h.update(hdr, 16);
+  h.update(blob, (size_t)ctx->n * 32);
+  h.update(comm48, 48);
+  u8 dig[32];
+  h.final(dig);
+  Fr z_std = fr_reduce_be32(dig);
+  Fr z_m;
+  to_mont<4>(FR, z_std.v, z_m.v);
+  return prover_prove_impl(ctx, blob, z_m, out_xy, out_inf, nullptr);
+}
+
+// ---- Fused single verification ---------------------------------------------
+
+// e(C - [y]G1, G2gen) == e(proof, [s - z]G2) (verify_kzg_proof_impl,
+// kzg.rs:409-426; pairings_verify, utils.rs:189-214).  z/y standard domain.
+static int verify_pair_eq(VerifyCtx *ctx, const G1Aff &C, const Fr &z_std,
+                          const Fr &y_std, const G1Aff &P, int *out_ok) {
+  u8 sc[32];
+  // x_minus_z = [s]G2 - z*G2gen (kzg.rs:417-418)
+  to_be<4>(z_std.v, 32, sc);
+  G2Jac gg = ctx->g2_gen.inf ? g2_jac_inf()
+                             : G2Jac{ctx->g2_gen.x, ctx->g2_gen.y, FP2_ONE_C};
+  G2Jac zg = g2_mul_jac(gg, sc, 32);
+  zg.y = fp2_neg(zg.y);
+  G2Jac sj = ctx->g2_s.inf ? g2_jac_inf()
+                           : G2Jac{ctx->g2_s.x, ctx->g2_s.y, FP2_ONE_C};
+  G2Aff x_minus_z = g2_to_aff(g2_add_jac(sj, zg));
+  // p_minus_y = C - [y]G1 (kzg.rs:421-422)
+  to_be<4>(y_std.v, 32, sc);
+  G1Jac g = {G1_GEN_X_M, G1_GEN_Y_M, FP_ONE_M};
+  G1Jac yg = g1_mul_jac(g, sc, 32);
+  yg.y = fp_neg(yg.y);
+  G1Aff p_minus_y = g1_to_aff(g1_add_jac(g1_from_aff(C), yg));
+  // e(-(C - yG), G2gen) * e(proof, s - zG2) == 1
+  G1Aff a1 = p_minus_y;
+  if (!a1.inf) a1.y = fp_neg(a1.y);
+  Fp12 f1 = FP12_ONE_C, f2 = FP12_ONE_C;
+  std::thread t1;
+  if (!a1.inf && !ctx->g2_gen.inf)
+    t1 = std::thread([&]() { f1 = miller_loop(a1, ctx->g2_gen); });
+  if (!P.inf && !x_minus_z.inf) f2 = miller_loop(P, x_minus_z);
+  if (t1.joinable()) t1.join();
+  *out_ok = fp12_is_one(final_exponentiation(fp12_mul(f1, f2))) ? 1 : 0;
+  return 0;
+}
+
+// verify_kzg_proof (kzg.rs:429-443) in one call.  Returns 0 and *out_ok,
+// or: 1 malformed commitment, 3 non-canonical z/y, 5 malformed proof,
+// 6 subgroup failure.
+int kzg_verify_single(void *ctx_p, const u8 *comm48, const u8 *z_be,
+                      const u8 *y_be, const u8 *proof48, int *out_ok) {
+  ensure_init();
+  VerifyCtx *ctx = (VerifyCtx *)ctx_p;
+  G1Aff C, P;
+  if (g1_uncompress_impl(comm48, C)) return 1;
+  if (!g1_subgroup(C)) return 6;
+  Fr z_m, y_m;
+  if (!fr_from_be(z_be, z_m) || !fr_from_be(y_be, y_m)) return 3;
+  if (g1_uncompress_impl(proof48, P)) return 5;
+  if (!g1_subgroup(P)) return 6;
+  Fr z_std, y_std;
+  from_mont<4>(FR, z_m.v, z_std.v);
+  from_mont<4>(FR, y_m.v, y_std.v);
+  return verify_pair_eq(ctx, C, z_std, y_std, P, out_ok);
+}
+
+// verify_blob_kzg_proof (kzg.rs:547-569) in one call: commitment decode +
+// validation, blob canonicality, Fiat-Shamir challenge, barycentric y,
+// proof decode + validation, pairing equation.  Error codes as above plus
+// 2 non-canonical blob element, 4 zero denominator.
+int kzg_verify_blob_single(void *ctx_p, const u8 *blob, const u8 *comm48,
+                           const u8 *proof48, int *out_ok) {
+  ensure_init();
+  VerifyCtx *ctx = (VerifyCtx *)ctx_p;
+  const u32 n = ctx->n;
+  G1Aff C, P;
+  if (g1_uncompress_impl(comm48, C)) return 1;
+  if (!g1_subgroup(C)) return 6;
+  std::vector<Fr> elems(n);
+  if (!blob_elems_std(blob, n, elems)) return 2;
+  // compute_challenge (kzg.rs:298-339)
+  Sha256 h;
+  h.update(ctx->fs_domain, 16);
+  u8 hdr[16];
+  be64(0, hdr);
+  be64(n, hdr + 8);
+  h.update(hdr, 16);
+  h.update(blob, (size_t)n * 32);
+  h.update(comm48, 48);
+  u8 dig[32];
+  h.final(dig);
+  Fr z_std = fr_reduce_be32(dig);
+  Fr z_m;
+  to_mont<4>(FR, z_std.v, z_m.v);
+  Fr y_std;
+  int rc = bary_eval_one(ctx->roots, ctx->inv_n, n, elems, z_m, y_std);
+  if (rc) return rc;
+  if (g1_uncompress_impl(proof48, P)) return 5;
+  if (!g1_subgroup(P)) return 6;
+  return verify_pair_eq(ctx, C, z_std, y_std, P, out_ok);
 }
 
 }  // extern "C"
