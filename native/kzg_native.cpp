@@ -1996,6 +1996,404 @@ static int bary52_y(const Fr52Domain &D, const u64 *const e_planes[5],
   return 0;
 }
 
+// ---- AVX-512 IFMA 8-wide Fp engine (8x52 limbs, R' = 2^416) -----------------
+//
+// The base-field counterpart of the Fr engine above, feeding the vectorized
+// MSM: eight independent G1 point additions per instruction stream, with
+// the RCB complete formulas (no data-dependent branches - the same design
+// the device path uses, kzg_rust_tpu/ops/curve.py proj_add_mixed).
+
+static u64 FP52_MOD[8], FP52_NP, FP52_R2[8], FP52_ONE_M[8], FP52_B3M[8];
+// Domain-bridge constants between the scalar 6x64 Montgomery form
+// (R = 2^384) and the 52-limb Montgomery' form (R' = 2^416):
+// mm'(x_R, C448) = x * R'  and  mm'(x_R', C384) = x * R.
+static u64 FP52_C384[8], FP52_C448[8];
+static std::once_flag FP52_INIT_FLAG;
+
+static void fp_to52(const u64 *a, u64 *o) {  // 6x64 -> 8x52 bit split
+  const u64 M = 0xfffffffffffffULL;
+  o[0] = a[0] & M;
+  o[1] = ((a[0] >> 52) | (a[1] << 12)) & M;
+  o[2] = ((a[1] >> 40) | (a[2] << 24)) & M;
+  o[3] = ((a[2] >> 28) | (a[3] << 36)) & M;
+  o[4] = ((a[3] >> 16) | (a[4] << 48)) & M;
+  o[5] = (a[4] >> 4) & M;
+  o[6] = ((a[4] >> 56) | (a[5] << 8)) & M;
+  o[7] = a[5] >> 44;
+}
+
+static void fp_from52(const u64 *a, u64 *o) {  // 8x52 -> 6x64 (value < 2^384)
+  o[0] = a[0] | (a[1] << 52);
+  o[1] = (a[1] >> 12) | (a[2] << 40);
+  o[2] = (a[2] >> 24) | (a[3] << 28);
+  o[3] = (a[3] >> 36) | (a[4] << 16);
+  o[4] = (a[4] >> 48) | (a[5] << 4) | (a[6] << 56);
+  o[5] = (a[6] >> 8) | (a[7] << 44);
+}
+
+static void fp52_mm_scalar(const u64 *a, const u64 *b, u64 *out) {
+  u128 t[17];
+  memset(t, 0, sizeof(t));
+  for (int i = 0; i < 8; ++i)
+    for (int j = 0; j < 8; ++j) {
+      u128 p = (u128)a[i] * b[j];
+      t[i + j] += (u64)(p & 0xfffffffffffffULL);
+      t[i + j + 1] += (u64)(p >> 52);
+    }
+  for (int i = 0; i < 8; ++i) {
+    u64 m = ((u64)t[i] * FP52_NP) & 0xfffffffffffffULL;
+    for (int j = 0; j < 8; ++j) {
+      u128 p = (u128)m * FP52_MOD[j];
+      t[i + j] += (u64)(p & 0xfffffffffffffULL);
+      t[i + j + 1] += (u64)(p >> 52);
+    }
+    t[i + 1] += (u64)(t[i] >> 52);
+  }
+  u128 carry = 0;
+  for (int i = 0; i < 8; ++i) {
+    u128 v = t[8 + i] + carry;
+    out[i] = (u64)v & 0xfffffffffffffULL;
+    carry = v >> 52;
+  }
+}
+
+static void fp52_canon(u64 *a) {  // [0, 2p) -> [0, p)
+  bool ge = true;
+  for (int i = 7; i >= 0; --i) {
+    if (a[i] > FP52_MOD[i]) break;
+    if (a[i] < FP52_MOD[i]) {
+      ge = false;
+      break;
+    }
+  }
+  if (!ge) return;
+  u64 br = 0;
+  for (int i = 0; i < 8; ++i) {
+    u64 need = FP52_MOD[i] + br;
+    br = a[i] < need;
+    a[i] = (a[i] - need) & 0xfffffffffffffULL;
+  }
+}
+
+static void fp52_init() {
+  u64 mod64[6];
+  memcpy(mod64, FP.mod, sizeof(mod64));
+  fp_to52(mod64, FP52_MOD);
+  u64 inv = 1;
+  for (int i = 0; i < 6; ++i) inv *= 2 - FP52_MOD[0] * inv;
+  FP52_NP = (u64)(0 - inv) & 0xfffffffffffffULL;
+  u64 v[8] = {1, 0, 0, 0, 0, 0, 0, 0};
+  for (int d = 0; d < 832; ++d) {
+    u64 carry = 0;
+    for (int i = 0; i < 8; ++i) {
+      u64 nv = (v[i] << 1) | carry;
+      carry = v[i] >> 51;
+      v[i] = nv & 0xfffffffffffffULL;
+    }
+    fp52_canon(v);
+    if (d == 383) memcpy(FP52_C384, v, sizeof(FP52_C384));
+    if (d == 415) memcpy(FP52_ONE_M, v, sizeof(FP52_ONE_M));
+    if (d == 447) memcpy(FP52_C448, v, sizeof(FP52_C448));
+  }
+  memcpy(FP52_R2, v, sizeof(FP52_R2));
+  u64 twelve[8] = {12, 0, 0, 0, 0, 0, 0, 0};
+  fp52_mm_scalar(twelve, FP52_R2, FP52_B3M);  // M'(3b) = M'(12)
+  fp52_canon(FP52_B3M);
+}
+
+struct V8 {
+  __m512i l[8];
+};
+
+static inline V8 v8_bcast(const u64 *limbs) {
+  V8 r;
+  for (int i = 0; i < 8; ++i) r.l[i] = _mm512_set1_epi64(limbs[i]);
+  return r;
+}
+
+static inline V8 v8_loadu(const u64 *const planes[8], size_t off) {
+  V8 r;
+  for (int i = 0; i < 8; ++i)
+    r.l[i] = _mm512_loadu_si512((const void *)(planes[i] + off));
+  return r;
+}
+
+static inline V8 v8_mm(const V8 &a, const V8 &b) {
+  const __m512i LOW52 = _mm512_set1_epi64(0xfffffffffffffULL);
+  const __m512i VNP = _mm512_set1_epi64(FP52_NP);
+  __m512i t[17];
+  for (int i = 0; i < 17; ++i) t[i] = _mm512_setzero_si512();
+  for (int i = 0; i < 8; ++i)
+    for (int j = 0; j < 8; ++j) {
+      t[i + j] = _mm512_madd52lo_epu64(t[i + j], a.l[i], b.l[j]);
+      t[i + j + 1] = _mm512_madd52hi_epu64(t[i + j + 1], a.l[i], b.l[j]);
+    }
+  for (int i = 0; i < 8; ++i) {
+    __m512i m = _mm512_and_si512(
+        _mm512_madd52lo_epu64(_mm512_setzero_si512(), t[i], VNP), LOW52);
+    for (int j = 0; j < 8; ++j) {
+      const __m512i vmod = _mm512_set1_epi64(FP52_MOD[j]);
+      t[i + j] = _mm512_madd52lo_epu64(t[i + j], m, vmod);
+      t[i + j + 1] = _mm512_madd52hi_epu64(t[i + j + 1], m, vmod);
+    }
+    t[i + 1] = _mm512_add_epi64(t[i + 1], _mm512_srli_epi64(t[i], 52));
+  }
+  V8 r;
+  __m512i carry = _mm512_setzero_si512();
+  for (int i = 0; i < 8; ++i) {
+    __m512i v = _mm512_add_epi64(t[8 + i], carry);
+    r.l[i] = _mm512_and_si512(v, LOW52);
+    carry = _mm512_srli_epi64(v, 52);
+  }
+  return r;
+}
+
+// Subtract 2p once if the value is >= 2p (input < 4p, output < 2p).
+static inline V8 v8_red2p(const V8 &s) {
+  const __m512i LOW52 = _mm512_set1_epi64(0xfffffffffffffULL);
+  V8 d;
+  __m512i borrow = _mm512_setzero_si512();
+  for (int i = 0; i < 8; ++i) {
+    u64 two_p = ((FP52_MOD[i] << 1) & 0xfffffffffffffULL) |
+                (i > 0 ? (FP52_MOD[i - 1] >> 51) : 0);
+    __m512i v = _mm512_sub_epi64(
+        _mm512_sub_epi64(s.l[i], _mm512_set1_epi64(two_p)), borrow);
+    d.l[i] = _mm512_and_si512(v, LOW52);
+    borrow = _mm512_srli_epi64(v, 63);
+  }
+  __mmask8 use_d =
+      _mm512_cmpeq_epi64_mask(borrow, _mm512_setzero_si512());
+  V8 r;
+  for (int i = 0; i < 8; ++i)
+    r.l[i] = _mm512_mask_blend_epi64(use_d, s.l[i], d.l[i]);
+  return r;
+}
+
+static inline V8 v8_add(const V8 &a, const V8 &b) {
+  const __m512i LOW52 = _mm512_set1_epi64(0xfffffffffffffULL);
+  V8 s;
+  __m512i carry = _mm512_setzero_si512();
+  for (int i = 0; i < 8; ++i) {
+    __m512i v = _mm512_add_epi64(_mm512_add_epi64(a.l[i], b.l[i]), carry);
+    if (i < 7) {
+      s.l[i] = _mm512_and_si512(v, LOW52);
+      carry = _mm512_srli_epi64(v, 52);
+    } else {
+      s.l[i] = v;  // < 2^20 above the 52-bit boundary, kept in-lane
+    }
+  }
+  return v8_red2p(s);
+}
+
+// a - b + 2p (a, b < 2p): output < 4p, safe as a v8_mm operand; pass
+// through v8_red2p before storing as state.
+static inline V8 v8_sub2p(const V8 &a, const V8 &b) {
+  const __m512i LOW52 = _mm512_set1_epi64(0xfffffffffffffULL);
+  V8 r;
+  __m512i carry = _mm512_setzero_si512();
+  for (int i = 0; i < 8; ++i) {
+    u64 two_p = ((FP52_MOD[i] << 1) & 0xfffffffffffffULL) |
+                (i > 0 ? (FP52_MOD[i - 1] >> 51) : 0);
+    __m512i v = _mm512_add_epi64(
+        _mm512_sub_epi64(_mm512_add_epi64(a.l[i], _mm512_set1_epi64(two_p)),
+                         b.l[i]),
+        carry);
+    r.l[i] = _mm512_and_si512(v, LOW52);
+    carry = _mm512_srai_epi64(v, 52);
+  }
+  return r;
+}
+
+// p - y for canonical y < p (used to negate table points on negative
+// digits; y != 0 for affine points).
+static inline V8 v8_negp(const V8 &y) {
+  const __m512i LOW52 = _mm512_set1_epi64(0xfffffffffffffULL);
+  V8 r;
+  __m512i carry = _mm512_setzero_si512();
+  for (int i = 0; i < 8; ++i) {
+    __m512i v = _mm512_add_epi64(
+        _mm512_sub_epi64(_mm512_set1_epi64(FP52_MOD[i]), y.l[i]), carry);
+    r.l[i] = _mm512_and_si512(v, LOW52);
+    carry = _mm512_srai_epi64(v, 52);
+  }
+  return r;
+}
+
+// Complete mixed addition (RCB eprint 2015/1060 algorithm 8, a = 0),
+// mirroring the device path's proj_add_mixed (ops/curve.py) - handles the
+// bucket-at-infinity and doubling cases without branches.  (X1:Y1:Z1)
+// projective += (x2, y2) affine, eight points per call.
+static inline void v8_madd(V8 &X1, V8 &Y1, V8 &Z1, const V8 &x2,
+                           const V8 &y2) {
+  V8 b3 = v8_bcast(FP52_B3M);
+  V8 t0 = v8_mm(X1, x2);
+  V8 t1 = v8_mm(Y1, y2);
+  V8 t3 = v8_red2p(
+      v8_sub2p(v8_mm(v8_add(X1, Y1), v8_add(x2, y2)), v8_add(t0, t1)));
+  V8 t4 = v8_add(v8_mm(y2, Z1), Y1);
+  V8 t5 = v8_add(v8_mm(x2, Z1), X1);
+  V8 three_t0 = v8_add(v8_add(t0, t0), t0);
+  V8 bt2 = v8_mm(b3, Z1);
+  V8 z3t = v8_add(t1, bt2);
+  V8 t1m = v8_red2p(v8_sub2p(t1, bt2));
+  V8 y3t = v8_mm(b3, t5);
+  X1 = v8_red2p(v8_sub2p(v8_mm(t3, t1m), v8_mm(t4, y3t)));
+  Y1 = v8_add(v8_mm(y3t, three_t0), v8_mm(t1m, z3t));
+  Z1 = v8_add(v8_mm(z3t, t4), v8_mm(three_t0, t3));
+}
+
+// Complete projective addition (RCB algorithm 7, a = 0), for merging
+// bucket sets (mirrors ops/curve.py proj_add).
+static inline void v8_padd(V8 &X1, V8 &Y1, V8 &Z1, const V8 &x2,
+                           const V8 &y2, const V8 &z2) {
+  V8 b3 = v8_bcast(FP52_B3M);
+  V8 t0 = v8_mm(X1, x2);
+  V8 t1 = v8_mm(Y1, y2);
+  V8 t2 = v8_mm(Z1, z2);
+  V8 t3 = v8_red2p(
+      v8_sub2p(v8_mm(v8_add(X1, Y1), v8_add(x2, y2)), v8_add(t0, t1)));
+  V8 t4 = v8_red2p(
+      v8_sub2p(v8_mm(v8_add(Y1, Z1), v8_add(y2, z2)), v8_add(t1, t2)));
+  V8 t5 = v8_red2p(
+      v8_sub2p(v8_mm(v8_add(X1, Z1), v8_add(x2, z2)), v8_add(t0, t2)));
+  V8 three_t0 = v8_add(v8_add(t0, t0), t0);
+  V8 bt2 = v8_mm(b3, t2);
+  V8 z3t = v8_add(t1, bt2);
+  V8 t1m = v8_red2p(v8_sub2p(t1, bt2));
+  V8 y3t = v8_mm(b3, t5);
+  X1 = v8_red2p(v8_sub2p(v8_mm(t3, t1m), v8_mm(t4, y3t)));
+  Y1 = v8_add(v8_mm(y3t, three_t0), v8_mm(t1m, z3t));
+  Z1 = v8_add(v8_mm(z3t, t4), v8_mm(three_t0, t3));
+}
+
+// Fp (6x64, R = 2^384 Montgomery) -> 8x52 Montgomery' (R' = 2^416), canonical.
+static void fp52_from_fp(const u64 *fp_mont, u64 *out) {
+  u64 t[8];
+  fp_to52(fp_mont, t);
+  fp52_mm_scalar(t, FP52_C448, out);
+  fp52_canon(out);
+}
+
+// 8x52 Montgomery' (< 2p) -> Fp limbs (6x64, R = 2^384 Montgomery).
+static void fp52_to_fp(const u64 *a, u64 *fp_mont) {
+  u64 t[8], s[8];
+  memcpy(t, a, sizeof(t));
+  fp52_canon(t);
+  fp52_mm_scalar(t, FP52_C384, s);
+  fp52_canon(s);
+  fp_from52(s, fp_mont);
+}
+
+// 8-lane lock-step Pippenger bucket accumulation over the 52-limb plane
+// copy of the fixed-base table.  `entries` is this thread's pair list,
+// counting-sorted by bucket: (bucket << 33) | (neg << 32) | table_index.
+// Each SIMD lane walks a contiguous segment; because entries are
+// bucket-major, a lane keeps one RCB projective accumulator in registers
+// and flushes it into `buckets` (Jacobian) only when its bucket changes.
+// A bucket split across two lane segments simply receives two flushes -
+// the flush *adds* into the bucket.  Infinity needs no special casing:
+// the RCB complete formulas absorb it (same property the device path's
+// proj_add_mixed relies on, kzg_rust_tpu/ops/curve.py).
+static void g1_bucket_accum_v8(const u64 *tbl52, size_t stride,
+                               const u64 *entries, size_t ne,
+                               std::vector<G1Jac> &buckets) {
+  const u64 *xp[8], *yp[8];
+  for (int l = 0; l < 8; ++l) {
+    xp[l] = tbl52 + (size_t)l * stride;
+    yp[l] = tbl52 + (size_t)(8 + l) * stride;
+  }
+  size_t pos[8], end[8];
+  int cur_b[8];
+  for (int l = 0; l < 8; ++l) {
+    pos[l] = ne * l / 8;
+    end[l] = ne * (l + 1) / 8;
+    cur_b[l] = -1;
+  }
+  V8 X, Y, Z;
+  const __m512i VONE_M[8] = {
+      _mm512_set1_epi64(FP52_ONE_M[0]), _mm512_set1_epi64(FP52_ONE_M[1]),
+      _mm512_set1_epi64(FP52_ONE_M[2]), _mm512_set1_epi64(FP52_ONE_M[3]),
+      _mm512_set1_epi64(FP52_ONE_M[4]), _mm512_set1_epi64(FP52_ONE_M[5]),
+      _mm512_set1_epi64(FP52_ONE_M[6]), _mm512_set1_epi64(FP52_ONE_M[7])};
+  for (int i = 0; i < 8; ++i) {
+    X.l[i] = _mm512_setzero_si512();
+    Y.l[i] = VONE_M[i];
+    Z.l[i] = _mm512_setzero_si512();
+  }
+  auto flush_lane = [&](int lane) {
+    alignas(64) u64 lx[8][8], ly[8][8], lz[8][8];
+    for (int i = 0; i < 8; ++i) {
+      _mm512_store_si512((void *)lx[i], X.l[i]);
+      _mm512_store_si512((void *)ly[i], Y.l[i]);
+      _mm512_store_si512((void *)lz[i], Z.l[i]);
+    }
+    u64 px[8], py[8], pz[8];
+    for (int i = 0; i < 8; ++i) {
+      px[i] = lx[i][lane];
+      py[i] = ly[i][lane];
+      pz[i] = lz[i][lane];
+    }
+    // Projective (X:Y:Z) -> Jacobian (XZ, YZ^2, Z); Z = 0 stays infinity.
+    Fp x, y, z;
+    fp52_to_fp(pz, z.v);
+    if (fp_is_zero(z)) return;
+    fp52_to_fp(px, x.v);
+    fp52_to_fp(py, y.v);
+    Fp z2 = fp_sqr(z);
+    G1Jac j = {fp_mul(x, z), fp_mul(y, z2), z};
+    buckets[cur_b[lane]] = g1_add_jac(buckets[cur_b[lane]], j);
+  };
+  auto set_lane_inf = [&](int lane) {
+    const __mmask8 m = (__mmask8)(1u << lane);
+    for (int i = 0; i < 8; ++i) {
+      X.l[i] = _mm512_maskz_mov_epi64((__mmask8)~m & 0xff, X.l[i]);
+      Z.l[i] = _mm512_maskz_mov_epi64((__mmask8)~m & 0xff, Z.l[i]);
+      Y.l[i] = _mm512_mask_mov_epi64(Y.l[i], m, VONE_M[i]);
+    }
+  };
+  for (;;) {
+    alignas(64) long long idxbuf[8] = {0};
+    __mmask8 negm = 0;
+    bool any = false;
+    for (int l = 0; l < 8; ++l) {
+      if (pos[l] >= end[l]) {
+        if (cur_b[l] >= 0) {
+          flush_lane(l);
+          set_lane_inf(l);
+          cur_b[l] = -1;
+        }
+        continue;
+      }
+      const u64 e = entries[pos[l]];
+      const int b = (int)(e >> 33);
+      if (b != cur_b[l]) {
+        if (cur_b[l] >= 0) {
+          flush_lane(l);
+          set_lane_inf(l);
+        }
+        cur_b[l] = b;
+      }
+      idxbuf[l] = (long long)(e & 0xffffffffULL);
+      if (e & (1ULL << 32)) negm |= (__mmask8)(1u << l);
+      ++pos[l];
+      any = true;
+    }
+    if (!any) break;
+    const __m512i vidx = _mm512_load_si512((const void *)idxbuf);
+    V8 gx, gy;
+    for (int i = 0; i < 8; ++i) {
+      gx.l[i] = _mm512_i64gather_epi64(vidx, (const void *)xp[i], 8);
+      gy.l[i] = _mm512_i64gather_epi64(vidx, (const void *)yp[i], 8);
+    }
+    if (negm) {
+      V8 yn = v8_negp(gy);
+      for (int i = 0; i < 8; ++i)
+        gy.l[i] = _mm512_mask_mov_epi64(gy.l[i], negm, yn.l[i]);
+    }
+    v8_madd(X, Y, Z, gx, gy);
+  }
+}
+
 // Parse + canonicality-check blob elements into standard 64-limb values AND
 // 52-limb planes for the vector engine (blob_to_polynomial, kzg.rs:282-291).
 static bool blob_elems_std52(const u8 *blob, u32 n, std::vector<Fr> &elems,
@@ -2463,53 +2861,18 @@ struct ProverCtx {
   std::vector<G1Aff> tbl;
 #ifdef KZG_HAVE_IFMA
   Fr52Domain dom52;
+  // Plane-layout 52-limb Montgomery' copy of tbl for the vector bucket
+  // accumulator: planes 0-7 = x limbs, 8-15 = y limbs, each of length
+  // tbl52_stride = n * nwin.
+  std::vector<u64> tbl52;
+  size_t tbl52_stride = 0;
 #endif
 };
 
-// Merged-window fixed-base Pippenger over a precomputed shift table.
-// Same group element as g1_msm_pippenger (differential-tested); ~35% fewer
-// group ops for the 4096-point mainnet MSM.
-static G1Jac g1_msm_fixed(const std::vector<G1Aff> &tbl, int nwin, int c,
-                          const u8 *scalars, int n) {
-  const int nbuckets = 1 << (c - 1);
-  std::vector<int32_t> digits((size_t)n * nwin);
-  parallel_for(n, [&](int i) {
-    signed_digits(scalars + 32 * i, c, nwin, &digits[(size_t)i * nwin]);
-  });
-  int nw = n_workers();
-  if (nw > n) nw = n > 0 ? n : 1;
-  std::vector<std::vector<G1Jac>> tb(nw);
-  std::vector<std::thread> threads;
-  const int chunk = (n + nw - 1) / nw;
-  for (int t = 0; t < nw; ++t)
-    threads.emplace_back([&, t]() {
-      auto &buckets = tb[t];
-      buckets.assign(nbuckets, g1_jac_inf());
-      const int lo = t * chunk;
-      const int hi = (n < lo + chunk) ? n : lo + chunk;
-      for (int i = lo; i < hi; ++i) {
-        const G1Aff *row = &tbl[(size_t)i * nwin];
-        const int32_t *dg = &digits[(size_t)i * nwin];
-        for (int w = 0; w < nwin; ++w) {
-          int32_t d = dg[w];
-          if (d == 0 || row[w].inf) continue;
-          if (d > 0) {
-            buckets[d - 1] = g1_add_mixed(buckets[d - 1], row[w]);
-          } else {
-            G1Aff neg = {row[w].x, fp_neg(row[w].y), false};
-            buckets[-d - 1] = g1_add_mixed(buckets[-d - 1], neg);
-          }
-        }
-      }
-    });
-  for (auto &th : threads) th.join();
-  std::vector<G1Jac> &buckets = tb[0];
-  parallel_for(nbuckets, [&](int b) {
-    for (int t = 1; t < nw; ++t) buckets[b] = g1_add_jac(buckets[b], tb[t][b]);
-  });
-  // Weighted reduction sum_b (b+1)*bucket_b, parallelized by bucket range:
-  // each range reduces locally, then adds lo * (range suffix sum).
-  const int nranges = nw;
+// Weighted reduction sum_b (b+1)*bucket_b, parallelized by bucket range:
+// each range reduces locally, then adds lo * (range suffix sum).
+static G1Jac g1_weighted_reduce(std::vector<G1Jac> &buckets, int nbuckets) {
+  const int nranges = n_workers();
   const int rsz = (nbuckets + nranges - 1) / nranges;
   std::vector<G1Jac> rsum(nranges, g1_jac_inf());
   parallel_for(nranges, [&](int rg) {
@@ -2533,6 +2896,97 @@ static G1Jac g1_msm_fixed(const std::vector<G1Aff> &tbl, int nwin, int c,
   G1Jac total = g1_jac_inf();
   for (int rg = 0; rg < nranges; ++rg) total = g1_add_jac(total, rsum[rg]);
   return total;
+}
+
+// Merged-window fixed-base Pippenger over a precomputed shift table.
+// Same group element as g1_msm_pippenger (differential-tested); ~35% fewer
+// group ops for the 4096-point mainnet MSM.
+static G1Jac g1_msm_fixed(const std::vector<G1Aff> &tbl, int nwin, int c,
+                          const u8 *scalars, int n,
+                          const u64 *tbl52 = nullptr, size_t stride52 = 0) {
+  const int nbuckets = 1 << (c - 1);
+  std::vector<int32_t> digits((size_t)n * nwin);
+  parallel_for(n, [&](int i) {
+    signed_digits(scalars + 32 * i, c, nwin, &digits[(size_t)i * nwin]);
+  });
+  int nw = n_workers();
+  if (nw > n) nw = n > 0 ? n : 1;
+  std::vector<std::vector<G1Jac>> tb(nw);
+  std::vector<std::thread> threads;
+  const int chunk = (n + nw - 1) / nw;
+  for (int t = 0; t < nw; ++t)
+    threads.emplace_back([&, t]() {
+      auto &buckets = tb[t];
+      buckets.assign(nbuckets, g1_jac_inf());
+      const int lo = t * chunk;
+      const int hi = (n < lo + chunk) ? n : lo + chunk;
+#ifdef KZG_HAVE_IFMA
+      if (tbl52) {
+        // Counting-sort this chunk's (bucket, table-point) pairs into
+        // bucket-major order, then run the 8-lane vector accumulator.
+        std::vector<u32> counts(nbuckets + 1, 0);
+        for (int i = lo; i < hi; ++i) {
+          const G1Aff *row = &tbl[(size_t)i * nwin];
+          const int32_t *dg = &digits[(size_t)i * nwin];
+          for (int w = 0; w < nwin; ++w)
+            if (dg[w] != 0 && !row[w].inf)
+              ++counts[dg[w] > 0 ? dg[w] - 1 : -dg[w] - 1];
+        }
+        std::vector<u32> offs(nbuckets + 1, 0);
+        for (int b = 0; b < nbuckets; ++b) offs[b + 1] = offs[b] + counts[b];
+        const size_t ne = offs[nbuckets];
+        std::vector<u64> entries(ne);
+        std::vector<u32> fill(offs.begin(), offs.end() - 1);
+        for (int i = lo; i < hi; ++i) {
+          const G1Aff *row = &tbl[(size_t)i * nwin];
+          const int32_t *dg = &digits[(size_t)i * nwin];
+          for (int w = 0; w < nwin; ++w) {
+            const int32_t d = dg[w];
+            if (d == 0 || row[w].inf) continue;
+            const u64 b = d > 0 ? d - 1 : -d - 1;
+            const u64 neg = d < 0;
+            entries[fill[b]++] =
+                (b << 33) | (neg << 32) | ((u64)i * nwin + w);
+          }
+        }
+        g1_bucket_accum_v8(tbl52, stride52, entries.data(), ne, buckets);
+        return;
+      }
+#else
+      (void)tbl52;
+      (void)stride52;
+#endif
+      for (int i = lo; i < hi; ++i) {
+        const G1Aff *row = &tbl[(size_t)i * nwin];
+        const int32_t *dg = &digits[(size_t)i * nwin];
+        for (int w = 0; w < nwin; ++w) {
+          int32_t d = dg[w];
+          if (d == 0 || row[w].inf) continue;
+          if (d > 0) {
+            buckets[d - 1] = g1_add_mixed(buckets[d - 1], row[w]);
+          } else {
+            G1Aff neg = {row[w].x, fp_neg(row[w].y), false};
+            buckets[-d - 1] = g1_add_mixed(buckets[-d - 1], neg);
+          }
+        }
+      }
+    });
+  for (auto &th : threads) th.join();
+  std::vector<G1Jac> &buckets = tb[0];
+  parallel_for(nbuckets, [&](int b) {
+    for (int t = 1; t < nw; ++t) buckets[b] = g1_add_jac(buckets[b], tb[t][b]);
+  });
+  return g1_weighted_reduce(buckets, nbuckets);
+}
+
+static G1Jac prover_msm(ProverCtx *ctx, const u8 *scalars, int n) {
+#ifdef KZG_HAVE_IFMA
+  return g1_msm_fixed(ctx->tbl, ctx->msm_nwin, ctx->msm_c, scalars, n,
+                      ctx->tbl52.empty() ? nullptr : ctx->tbl52.data(),
+                      ctx->tbl52_stride);
+#else
+  return g1_msm_fixed(ctx->tbl, ctx->msm_nwin, ctx->msm_c, scalars, n);
+#endif
 }
 
 // Build the shift table: per point, the Jacobian doubling chain for all
@@ -2574,6 +3028,23 @@ static void prover_build_table(ProverCtx *ctx) {
                 false};
     }
   });
+#ifdef KZG_HAVE_IFMA
+  std::call_once(FP52_INIT_FLAG, fp52_init);
+  const size_t stride = (size_t)n * nwin;
+  ctx->tbl52_stride = stride;
+  ctx->tbl52.assign(16 * stride, 0);
+  parallel_for((int)stride, [&](int i) {
+    const G1Aff &p = ctx->tbl[i];
+    if (p.inf) return;  // never gathered: pair lists skip infinity rows
+    u64 x52[8], y52[8];
+    fp52_from_fp(p.x.v, x52);
+    fp52_from_fp(p.y.v, y52);
+    for (int l = 0; l < 8; ++l) {
+      ctx->tbl52[(size_t)l * stride + i] = x52[l];
+      ctx->tbl52[(size_t)(8 + l) * stride + i] = y52[l];
+    }
+  });
+#endif
 }
 
 static inline Fr fr_neg(const Fr &a) {
@@ -2677,8 +3148,7 @@ static int prover_prove_impl(ProverCtx *ctx, const u8 *blob, const Fr &z_m,
       // Out-of-domain: quotient from the stored inverses, then the MSM.
       std::vector<u8> scal(32 * (size_t)n);
       quotient52_from_inv(ctx->dom52, ep, y, scratch, scal.data());
-      G1Jac acc = g1_msm_fixed(ctx->tbl, ctx->msm_nwin, ctx->msm_c,
-                               scal.data(), (int)n);
+      G1Jac acc = prover_msm(ctx, scal.data(), (int)n);
       g1aff_to_bytes(g1_to_aff(acc), out_xy, out_inf);
       if (y_be_out) to_be<4>(y.v, 32, y_be_out);
       return 0;
@@ -2745,7 +3215,7 @@ static int prover_prove_impl(ProverCtx *ctx, const u8 *blob, const Fr &z_m,
   // standard domain, so its raw limbs ARE the scalar values.
   std::vector<u8> scal(32 * (size_t)n);
   parallel_for((int)n, [&](int i) { to_be<4>(q[i].v, 32, &scal[32 * (size_t)i]); });
-  G1Jac acc = g1_msm_fixed(ctx->tbl, ctx->msm_nwin, ctx->msm_c, scal.data(), (int)n);
+  G1Jac acc = prover_msm(ctx, scal.data(), (int)n);
   g1aff_to_bytes(g1_to_aff(acc), out_xy, out_inf);
   if (y_be_out) to_be<4>(y.v, 32, y_be_out);
   return 0;
@@ -2794,7 +3264,7 @@ int kzg_prover_commit(void *ctx_p, const u8 *blob, u8 *out_xy, int *out_inf) {
   ProverCtx *ctx = (ProverCtx *)ctx_p;
   std::vector<Fr> elems(ctx->n);
   if (!blob_elems_std(blob, ctx->n, elems)) return 2;
-  G1Jac acc = g1_msm_fixed(ctx->tbl, ctx->msm_nwin, ctx->msm_c, blob, (int)ctx->n);
+  G1Jac acc = prover_msm(ctx, blob, (int)ctx->n);
   g1aff_to_bytes(g1_to_aff(acc), out_xy, out_inf);
   return 0;
 }

@@ -1,0 +1,275 @@
+// Standalone unit test for the AVX-512 IFMA Fp engine (V8) — compares each
+// layer against the scalar 6x64 path.  Build: make test_v8 && ./test_v8
+#include "kzg_native.cpp"
+
+#include <cstdio>
+#include <cstdlib>
+#include <array>
+
+static u64 rng_state = 0x123456789abcdefULL;
+static u64 rnd64() {
+  rng_state ^= rng_state << 13;
+  rng_state ^= rng_state >> 7;
+  rng_state ^= rng_state << 17;
+  return rng_state;
+}
+
+static Fp rnd_fp() {
+  Fp a;
+  for (int i = 0; i < 6; ++i) a.v[i] = rnd64();
+  a.v[5] &= 0x0fffffffffffffffULL;  // < 2^380 < p, close enough to uniform
+  return a;
+}
+
+static bool fp_eq2(const Fp &a, const Fp &b) {
+  return memcmp(a.v, b.v, sizeof(a.v)) == 0;
+}
+
+static void dump(const char *tag, const u64 *v, int n) {
+  printf("%s:", tag);
+  for (int i = n - 1; i >= 0; --i) printf(" %013llx", (unsigned long long)v[i]);
+  printf("\n");
+}
+
+int main() {
+  ensure_init();
+#ifndef KZG_HAVE_IFMA
+  printf("no IFMA on this build\n");
+  return 1;
+#else
+  std::call_once(FP52_INIT_FLAG, fp52_init);
+
+  // 1. round trip fp -> 52 -> fp
+  for (int t = 0; t < 100; ++t) {
+    Fp a = rnd_fp();
+    u64 a52[8];
+    Fp back;
+    fp52_from_fp(a.v, a52);
+    fp52_to_fp(a52, back.v);
+    if (!fp_eq2(a, back)) {
+      printf("FAIL round-trip t=%d\n", t);
+      dump("a", a.v, 6);
+      dump("back", back.v, 6);
+      return 1;
+    }
+  }
+  printf("ok: fp52 round trip\n");
+
+  // 2. v8_mm vs fp_mul (8 independent lanes)
+  {
+    Fp a[8], b[8];
+    u64 pa[8][8], pb[8][8];  // [point][limb]
+    for (int l = 0; l < 8; ++l) {
+      a[l] = rnd_fp();
+      b[l] = rnd_fp();
+      fp52_from_fp(a[l].v, pa[l]);
+      fp52_from_fp(b[l].v, pb[l]);
+    }
+    V8 va, vb;
+    for (int i = 0; i < 8; ++i) {
+      alignas(64) u64 rowa[8], rowb[8];
+      for (int l = 0; l < 8; ++l) {
+        rowa[l] = pa[l][i];
+        rowb[l] = pb[l][i];
+      }
+      va.l[i] = _mm512_load_si512((const void *)rowa);
+      vb.l[i] = _mm512_load_si512((const void *)rowb);
+    }
+    V8 vc = v8_mm(va, vb);
+    for (int i = 0; i < 8; ++i) {
+      alignas(64) u64 row[8];
+      _mm512_store_si512((void *)row, vc.l[i]);
+      for (int l = 0; l < 8; ++l) pa[l][i] = row[l];  // reuse pa as result
+    }
+    for (int l = 0; l < 8; ++l) {
+      Fp got, want = fp_mul(a[l], b[l]);
+      fp52_to_fp(pa[l], got.v);
+      if (!fp_eq2(got, want)) {
+        printf("FAIL v8_mm lane %d\n", l);
+        dump("got", got.v, 6);
+        dump("want", want.v, 6);
+        return 1;
+      }
+    }
+    printf("ok: v8_mm\n");
+  }
+
+  // 3. v8_madd: projective acc starts at infinity, add generator k times,
+  //    compare against scalar Jacobian adds.  All 8 lanes identical input.
+  {
+    G1Aff gen = {G1_GEN_X_M, G1_GEN_Y_M, false};
+    u64 gx[8], gy[8];
+    fp52_from_fp(gen.x.v, gx);
+    fp52_from_fp(gen.y.v, gy);
+    V8 vx = v8_bcast(gx), vy = v8_bcast(gy);
+    V8 X, Y, Z;
+    for (int i = 0; i < 8; ++i) {
+      X.l[i] = _mm512_setzero_si512();
+      Y.l[i] = _mm512_set1_epi64(FP52_ONE_M[i]);
+      Z.l[i] = _mm512_setzero_si512();
+    }
+    G1Jac ref = g1_jac_inf();
+    for (int k = 1; k <= 5; ++k) {
+      v8_madd(X, Y, Z, vx, vy);
+      ref = g1_add_mixed(ref, gen);
+      // extract lane 0, convert projective -> affine, compare with ref.
+      u64 px[8], py[8], pz[8];
+      for (int i = 0; i < 8; ++i) {
+        alignas(64) u64 row[8];
+        _mm512_store_si512((void *)row, X.l[i]);
+        px[i] = row[0];
+        _mm512_store_si512((void *)row, Y.l[i]);
+        py[i] = row[0];
+        _mm512_store_si512((void *)row, Z.l[i]);
+        pz[i] = row[0];
+      }
+      Fp x, y, z;
+      fp52_to_fp(px, x.v);
+      fp52_to_fp(py, y.v);
+      fp52_to_fp(pz, z.v);
+      // affine from projective
+      Fp zi = fp_inv(z);
+      Fp ax = fp_mul(x, zi), ay = fp_mul(y, zi);
+      G1Aff refa = g1_to_aff(ref);
+      if (!fp_eq2(ax, refa.x) || !fp_eq2(ay, refa.y)) {
+        printf("FAIL v8_madd k=%d\n", k);
+        dump("ax", ax.v, 6);
+        dump("refx", refa.x.v, 6);
+        dump("ay", ay.v, 6);
+        dump("refy", refa.y.v, 6);
+        return 1;
+      }
+    }
+    printf("ok: v8_madd (inf + k*G chain, doubling case included)\n");
+  }
+
+  // 4. v8_negp: add G then -G -> infinity (Z == 0)
+  {
+    G1Aff gen = {G1_GEN_X_M, G1_GEN_Y_M, false};
+    u64 gx[8], gy[8];
+    fp52_from_fp(gen.x.v, gx);
+    fp52_from_fp(gen.y.v, gy);
+    V8 vx = v8_bcast(gx), vy = v8_bcast(gy);
+    V8 X, Y, Z;
+    for (int i = 0; i < 8; ++i) {
+      X.l[i] = _mm512_setzero_si512();
+      Y.l[i] = _mm512_set1_epi64(FP52_ONE_M[i]);
+      Z.l[i] = _mm512_setzero_si512();
+    }
+    v8_madd(X, Y, Z, vx, vy);
+    V8 vyn = v8_negp(vy);
+    v8_madd(X, Y, Z, vx, vyn);
+    u64 pz[8];
+    for (int i = 0; i < 8; ++i) {
+      alignas(64) u64 row[8];
+      _mm512_store_si512((void *)row, Z.l[i]);
+      pz[i] = row[0];
+    }
+    Fp z;
+    fp52_to_fp(pz, z.v);
+    if (!fp_is_zero(z)) {
+      printf("FAIL G + (-G) != inf\n");
+      return 1;
+    }
+    printf("ok: v8_negp / cancellation to infinity\n");
+  }
+
+  // 5. flush conversion: projective (X:Y:Z) -> Jacobian (XZ, YZ^2, Z)
+  {
+    G1Aff gen = {G1_GEN_X_M, G1_GEN_Y_M, false};
+    u64 gx[8], gy[8];
+    fp52_from_fp(gen.x.v, gx);
+    fp52_from_fp(gen.y.v, gy);
+    V8 vx = v8_bcast(gx), vy = v8_bcast(gy);
+    V8 X, Y, Z;
+    for (int i = 0; i < 8; ++i) {
+      X.l[i] = _mm512_setzero_si512();
+      Y.l[i] = _mm512_set1_epi64(FP52_ONE_M[i]);
+      Z.l[i] = _mm512_setzero_si512();
+    }
+    for (int k = 0; k < 5; ++k) v8_madd(X, Y, Z, vx, vy);
+    u64 px[8], py[8], pz[8];
+    for (int i = 0; i < 8; ++i) {
+      alignas(64) u64 row[8];
+      _mm512_store_si512((void *)row, X.l[i]);
+      px[i] = row[0];
+      _mm512_store_si512((void *)row, Y.l[i]);
+      py[i] = row[0];
+      _mm512_store_si512((void *)row, Z.l[i]);
+      pz[i] = row[0];
+    }
+    Fp x, y, z;
+    fp52_to_fp(px, x.v);
+    fp52_to_fp(py, y.v);
+    fp52_to_fp(pz, z.v);
+    Fp z2 = fp_sqr(z);
+    G1Jac j = {fp_mul(x, z), fp_mul(y, z2), z};
+    G1Aff got = g1_to_aff(j);
+    G1Jac ref = g1_jac_inf();
+    for (int k = 0; k < 5; ++k) ref = g1_add_mixed(ref, gen);
+    G1Aff want = g1_to_aff(ref);
+    if (!fp_eq2(got.x, want.x) || !fp_eq2(got.y, want.y)) {
+      printf("FAIL flush proj->jac conversion\n");
+      return 1;
+    }
+    printf("ok: flush projective->Jacobian conversion\n");
+  }
+
+  // 6. g1_bucket_accum_v8 end-to-end vs scalar bucket accumulation.
+  //    Build a small table of k*G points in 52-limb planes, random entries.
+  {
+    const int npts = 37, nbuckets = 8;
+    std::vector<G1Aff> pts(npts);
+    G1Jac acc = g1_jac_inf();
+    G1Aff gen = {G1_GEN_X_M, G1_GEN_Y_M, false};
+    for (int i = 0; i < npts; ++i) {
+      acc = g1_add_mixed(acc, gen);
+      pts[i] = g1_to_aff(acc);
+    }
+    const size_t stride = npts;
+    std::vector<u64> tbl52(16 * stride);
+    for (int i = 0; i < npts; ++i) {
+      u64 x52[8], y52[8];
+      fp52_from_fp(pts[i].x.v, x52);
+      fp52_from_fp(pts[i].y.v, y52);
+      for (int l = 0; l < 8; ++l) {
+        tbl52[(size_t)l * stride + i] = x52[l];
+        tbl52[(size_t)(8 + l) * stride + i] = y52[l];
+      }
+    }
+    // random (bucket, idx, neg) pairs, counting-sorted by bucket
+    const int ne = 200;
+    std::vector<std::array<int, 3>> raw(ne);
+    for (int e = 0; e < ne; ++e)
+      raw[e] = {(int)(rnd64() % nbuckets), (int)(rnd64() % npts),
+                (int)(rnd64() % 2)};
+    std::vector<u64> entries;
+    std::vector<G1Jac> want(nbuckets, g1_jac_inf());
+    for (int b = 0; b < nbuckets; ++b)
+      for (int e = 0; e < ne; ++e)
+        if (raw[e][0] == b) {
+          entries.push_back(((u64)b << 33) | ((u64)raw[e][2] << 32) |
+                            (u64)raw[e][1]);
+          G1Aff p = pts[raw[e][1]];
+          if (raw[e][2]) p.y = fp_neg(p.y);
+          want[b] = g1_add_mixed(want[b], p);
+        }
+    std::vector<G1Jac> got(nbuckets, g1_jac_inf());
+    g1_bucket_accum_v8(tbl52.data(), stride, entries.data(), entries.size(),
+                       got);
+    for (int b = 0; b < nbuckets; ++b) {
+      G1Aff ga = g1_to_aff(got[b]), wa = g1_to_aff(want[b]);
+      if (ga.inf != wa.inf ||
+          (!ga.inf && (!fp_eq2(ga.x, wa.x) || !fp_eq2(ga.y, wa.y)))) {
+        printf("FAIL bucket_accum bucket %d (inf %d vs %d)\n", b, ga.inf,
+               wa.inf);
+        return 1;
+      }
+    }
+    printf("ok: g1_bucket_accum_v8 vs scalar (200 random entries)\n");
+  }
+
+  printf("ALL V8 UNIT TESTS PASS\n");
+  return 0;
+#endif
+}

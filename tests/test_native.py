@@ -251,3 +251,56 @@ def test_barycentric_matches_golden_and_checks_canonicality():
     bad = b"\xff" * 32 + blobs[0][32:]
     with pytest.raises(BadArgs):
         ctx.eval_batch(bad + b"".join(blobs[1:]), nb, xs)
+
+
+def test_prover_ctx_matches_golden():
+    """Differential: the native fused prover (fixed-base MSM with the
+    vectorized bucket accumulator when IFMA is available) vs the golden
+    model, on a 64-point insecure setup (reference: kzg.rs:396-406,
+    :446-528)."""
+    from kzg_rust_tpu.presets import Preset
+    from kzg_rust_tpu.utils.testing import make_insecure_setup
+    from kzg_rust_tpu.backends.golden_backend import GoldenBackend
+    from kzg_rust_tpu import protocol
+    from kzg_rust_tpu import hostcrypto
+
+    preset = Preset(name="t64", field_elements_per_blob=64)
+    settings = make_insecure_setup(preset)
+    n = preset.field_elements_per_blob
+    be = GoldenBackend()
+    ctx = hostcrypto.prover_ctx(
+        settings.roots_of_unity, settings.g1_values, b"FSBLOBVERIFY_V1_"
+    )
+    assert ctx is not None
+
+    def golden_commit(blob):
+        return bytes(protocol.blob_to_kzg_commitment(settings, blob, be))
+
+    blobs = [
+        b"".join(rng.randrange(gf.R).to_bytes(32, "big") for _ in range(n))
+        for _ in range(3)
+    ]
+    # edge blobs: all-zero, one-hot, all elements r-1
+    blobs.append(bytes(32 * n))
+    blobs.append((1).to_bytes(32, "big") + bytes(32 * (n - 1)))
+    blobs.append((gf.R - 1).to_bytes(32, "big") * n)
+    for blob in blobs:
+        assert nat.g1_compress(ctx.commit(blob)) == golden_commit(blob)
+
+    # prove: out-of-domain and in-domain z, y must match too
+    blob = blobs[0]
+    for z_int in (7, settings.roots_of_unity[3]):
+        z = z_int.to_bytes(32, "big")
+        proof, y = ctx.prove(blob, z)
+        g_proof, g_y = protocol.compute_kzg_proof_impl(
+            settings,
+            [int.from_bytes(blob[32 * i : 32 * (i + 1)], "big") for i in range(n)],
+            z_int,
+            be,
+        )
+        assert nat.g1_compress(proof) == bytes(g_proof)
+        assert y == g_y
+
+    # non-canonical blob element must raise
+    with pytest.raises(BadArgs):
+        ctx.commit(b"\xff" * 32 + blobs[0][32:])
