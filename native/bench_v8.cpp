@@ -1,0 +1,53 @@
+#include "kzg_native.cpp"
+#include <cstdio>
+#include <chrono>
+
+int main() {
+  ensure_init();
+#ifdef KZG_HAVE_IFMA
+  std::call_once(FP52_INIT_FLAG, fp52_init);
+  u64 one[8][8];
+  for (int l = 0; l < 8; ++l) memcpy(one[l], FP52_ONE_M, sizeof(FP52_ONE_M));
+  V8 a = v8_pack(one), b = a;
+  const int N = 100000;
+  auto t0 = std::chrono::steady_clock::now();
+  for (int i = 0; i < N; ++i) a = v8_mm(a, b);  // latency chain
+  auto t1 = std::chrono::steady_clock::now();
+  double ns = std::chrono::duration<double, std::nano>(t1 - t0).count() / N;
+  printf("v8_mm latency-chain: %.1f ns/call (%.1f ns per lane-mul)\n", ns, ns / 8);
+  // throughput: 4 independent chains
+  V8 c1 = a, c2 = a, c3 = a, c4 = a;
+  t0 = std::chrono::steady_clock::now();
+  for (int i = 0; i < N / 4; ++i) {
+    c1 = v8_mm(c1, b); c2 = v8_mm(c2, b); c3 = v8_mm(c3, b); c4 = v8_mm(c4, b);
+  }
+  t1 = std::chrono::steady_clock::now();
+  ns = std::chrono::duration<double, std::nano>(t1 - t0).count() / N;
+  printf("v8_mm 4-chain: %.1f ns/call (%.1f ns per lane-mul)\n", ns, ns / 8);
+  // scalar fp_mul for reference
+  Fp x = FP_ONE_M;
+  t0 = std::chrono::steady_clock::now();
+  for (int i = 0; i < N; ++i) x = fp_mul(x, FP_ONE_M);
+  t1 = std::chrono::steady_clock::now();
+  ns = std::chrono::duration<double, std::nano>(t1 - t0).count() / N;
+  printf("scalar fp_mul chain: %.1f ns/call\n", ns);
+  // v5 (Fr) for reference
+  u64 fone[8][5];
+  V5 fa, fb;
+  for (int l = 0; l < 5; ++l) {
+    fa.l[l] = _mm512_set1_epi64(FR52_ONE_M[l]);
+    fb.l[l] = fa.l[l];
+  }
+  std::call_once(FR52_INIT_FLAG, fr52_init);
+  t0 = std::chrono::steady_clock::now();
+  for (int i = 0; i < N; ++i) fa = v5_mm(fa, fb);
+  t1 = std::chrono::steady_clock::now();
+  ns = std::chrono::duration<double, std::nano>(t1 - t0).count() / N;
+  printf("v5_mm latency-chain: %.1f ns/call (%.1f ns per lane-mul)\n", ns, ns / 8);
+  // keep results live
+  u64 sink[8][8]; v8_extract(c1, sink);
+  return (int)(sink[0][0] & 1) ^ (int)(x.v[0] & 1);
+#else
+  return 1;
+#endif
+}

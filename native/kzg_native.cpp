@@ -1362,26 +1362,6 @@ int kzg_g1_uncompress(const u8 *in, u8 *out_xy, int *out_inf) {
   return 0;
 }
 
-// Batch variant; err_flags[i] = 0 ok / 1 malformed.  Returns count of errors.
-int kzg_g1_uncompress_batch(const u8 *in, int n, u8 *out_xy, u8 *out_inf,
-                            u8 *err_flags) {
-  ensure_init();
-  std::atomic<int> errors(0);
-  parallel_for(n, [&](int i) {
-    G1Aff p;
-    int rc = g1_uncompress_impl(in + 48 * i, p);
-    err_flags[i] = (u8)rc;
-    if (rc) {
-      errors.fetch_add(1);
-      return;
-    }
-    int inf;
-    g1aff_to_bytes(p, out_xy + 96 * i, &inf);
-    out_inf[i] = (u8)inf;
-  });
-  return errors.load();
-}
-
 int kzg_g1_compress(const u8 *xy, int inf, u8 *out) {
   ensure_init();
   G1Aff p;
@@ -1396,18 +1376,6 @@ int kzg_g1_in_subgroup(const u8 *xy, int inf) {
   G1Aff p;
   if (!g1aff_from_bytes(xy, inf, p)) return -1;
   return g1_subgroup(p) ? 1 : 0;
-}
-
-// ret 1 if ALL points pass.
-int kzg_g1_subgroup_batch(const u8 *xy, const u8 *inf, int n) {
-  ensure_init();
-  std::atomic<int> ok(1);
-  parallel_for(n, [&](int i) {
-    G1Aff p;
-    if (!g1aff_from_bytes(xy + 96 * i, inf[i], p) || !g1_subgroup(p))
-      ok.store(0);
-  });
-  return ok.load();
 }
 
 // ---- G1/G2 arithmetic ------------------------------------------------------
@@ -2394,6 +2362,212 @@ static void g1_bucket_accum_v8(const u64 *tbl52, size_t stride,
   }
 }
 
+// Lane transpose helpers: V8 (limb-major) <-> per-lane 8x52 arrays.
+static void v8_extract(const V8 &v, u64 out[8][8]) {  // out[lane][limb]
+  alignas(64) u64 row[8];
+  for (int i = 0; i < 8; ++i) {
+    _mm512_store_si512((void *)row, v.l[i]);
+    for (int l = 0; l < 8; ++l) out[l][i] = row[l];
+  }
+}
+
+static V8 v8_pack(const u64 in[8][8]) {  // in[lane][limb]
+  V8 v;
+  alignas(64) u64 row[8];
+  for (int i = 0; i < 8; ++i) {
+    for (int l = 0; l < 8; ++l) row[l] = in[l][i];
+    v.l[i] = _mm512_load_si512((const void *)row);
+  }
+  return v;
+}
+
+// 8-wide Fp exponentiation by a shared big-endian exponent (the fixed
+// square-and-multiply ladder all lanes share; used for the sqrt chain
+// x^((p+1)/4) of point uncompression, utils.rs:282-310 / kzg.rs:859-872).
+static V8 v8_pow(const V8 &base, const u8 *exp_be, int nbytes) {
+  V8 r = v8_bcast(FP52_ONE_M);
+  bool started = false;
+  for (int i = 0; i < nbytes; ++i)
+    for (int bit = 7; bit >= 0; --bit) {
+      if (started) r = v8_mm(r, r);
+      if ((exp_be[i] >> bit) & 1) {
+        if (started) {
+          r = v8_mm(r, base);
+        } else {
+          r = base;
+          started = true;
+        }
+      }
+    }
+  return r;
+}
+
+// 8-wide ZCash-format 48-byte uncompress (same semantics as
+// g1_uncompress_impl): the sqrt exponentiation — ~99% of the scalar cost —
+// runs once for all eight points.  rc[l]: 0 ok, 1 malformed.
+static void g1_uncompress_v8(const u8 *in, G1Aff *out, int *rc) {
+  Fp xs[8], y2s[8];
+  bool sign[8], active[8];
+  u64 planes[8][8];
+  memset(planes, 0, sizeof(planes));
+  bool any = false;
+  for (int l = 0; l < 8; ++l) {
+    const u8 *c = in + 48 * l;
+    rc[l] = 0;
+    active[l] = false;
+    const u8 flags = c[0];
+    if (!(flags & 0x80)) {
+      rc[l] = 1;
+      continue;
+    }
+    if (flags & 0x40) {  // infinity encoding
+      if (flags != 0xC0) {
+        rc[l] = 1;
+        continue;
+      }
+      bool zero = true;
+      for (int i = 1; i < 48; ++i)
+        if (c[i]) {
+          zero = false;
+          break;
+        }
+      if (!zero) {
+        rc[l] = 1;
+        continue;
+      }
+      out[l] = {FP_ZERO, FP_ZERO, true};
+      continue;
+    }
+    u8 xb[48];
+    memcpy(xb, c, 48);
+    xb[0] = flags & 0x1F;
+    if (!fp_from_be(xb, xs[l])) {
+      rc[l] = 1;
+      continue;
+    }
+    y2s[l] = fp_add(fp_mul(fp_sqr(xs[l]), xs[l]), FP_B4);
+    fp52_from_fp(y2s[l].v, planes[l]);
+    sign[l] = (flags & 0x20) != 0;
+    active[l] = true;
+    any = true;
+  }
+  if (!any) return;
+  V8 y = v8_pow(v8_pack(planes), FP.exp_sqrt, 48);
+  u64 yl[8][8];
+  v8_extract(y, yl);
+  for (int l = 0; l < 8; ++l) {
+    if (!active[l]) continue;
+    Fp yv;
+    fp52_to_fp(yl[l], yv.v);
+    if (!fp_eq(fp_sqr(yv), y2s[l])) {  // non-residue: not on curve
+      rc[l] = 1;
+      continue;
+    }
+    if (fp_is_odd_gt_half(yv) != sign[l]) yv = fp_neg(yv);
+    out[l] = {xs[l], yv, false};
+  }
+}
+
+// 8-wide GLV subgroup check (same identity as g1_subgroup: on-curve P is in
+// G1 iff phi(P) == -[|x|^2]P).  The [|x|^2]P ladder uses the shared constant
+// scalar, so all eight lanes run it in lock-step with the RCB complete
+// formulas (doubling via the complete addition — no per-lane branching).
+static void g1_subgroup_v8(const G1Aff *p, bool *ok) {
+  u64 xpl[8][8], ypl[8][8];
+  memset(xpl, 0, sizeof(xpl));
+  memset(ypl, 0, sizeof(ypl));
+  bool any = false;
+  for (int l = 0; l < 8; ++l) {
+    ok[l] = p[l].inf;  // infinity passes (utils.rs:298-301)
+    if (p[l].inf) continue;
+    fp52_from_fp(p[l].x.v, xpl[l]);
+    fp52_from_fp(p[l].y.v, ypl[l]);
+    any = true;
+  }
+  if (!any) return;
+  const V8 px = v8_pack(xpl), py = v8_pack(ypl);
+  V8 QX, QY, QZ;
+  for (int i = 0; i < 8; ++i) {
+    QX.l[i] = _mm512_setzero_si512();
+    QY.l[i] = _mm512_set1_epi64(FP52_ONE_M[i]);
+    QZ.l[i] = _mm512_setzero_si512();
+  }
+  u64 z2[2];
+  from_hex<2>(Z2_HEX, z2);  // |x|^2, 126 bits
+  bool started = false;
+  for (int bit = 127; bit >= 0; --bit) {
+    if (started) {
+      V8 cx = QX, cy = QY, cz = QZ;
+      v8_padd(QX, QY, QZ, cx, cy, cz);
+    }
+    if ((z2[bit / 64] >> (bit % 64)) & 1) {
+      v8_madd(QX, QY, QZ, px, py);
+      started = true;
+    }
+  }
+  u64 qx[8][8], qy[8][8], qz[8][8];
+  v8_extract(QX, qx);
+  v8_extract(QY, qy);
+  v8_extract(QZ, qz);
+  for (int l = 0; l < 8; ++l) {
+    if (p[l].inf) continue;
+    Fp X, Y, Z;
+    fp52_to_fp(qx[l], X.v);
+    fp52_to_fp(qy[l], Y.v);
+    fp52_to_fp(qz[l], Z.v);
+    if (fp_is_zero(Z)) {
+      ok[l] = false;  // [z^2]P == inf for on-curve P outside G1's cofactor
+      continue;
+    }
+    // phi(P) == -(X/Z, Y/Z):  beta*x*Z == X  &&  y*Z == -Y
+    Fp lhsx = fp_mul(fp_mul(FP_BETA, p[l].x), Z);
+    Fp lhsy = fp_mul(p[l].y, Z);
+    ok[l] = fp_eq(lhsx, X) && fp_eq(lhsy, fp_neg(Y));
+  }
+}
+
+// Batched decode (uncompress [+ subgroup]) over n compressed points,
+// 8-wide groups in parallel.  Returns 0 or the first error code
+// (err_malformed / err_subgroup).
+static int g1_decode_points_v8(const u8 *comp, u32 n, G1Aff *out,
+                               bool check_subgroup, int err_malformed,
+                               int err_subgroup) {
+  std::call_once(FP52_INIT_FLAG, fp52_init);
+  const u32 ngroups = (n + 7) / 8;
+  std::atomic<int> err(0);
+  parallel_for((int)ngroups, [&](int g) {
+    if (err.load()) return;
+    const u32 lo = 8 * (u32)g;
+    const u32 cnt = (n - lo < 8) ? (n - lo) : 8;
+    u8 buf[48 * 8];
+    memcpy(buf, comp + 48 * (size_t)lo, 48 * cnt);
+    // pad tail lanes with the infinity encoding (valid, subgroup-passing)
+    for (u32 l = cnt; l < 8; ++l) {
+      memset(buf + 48 * l, 0, 48);
+      buf[48 * l] = 0xC0;
+    }
+    G1Aff pts[8];
+    int rc[8];
+    g1_uncompress_v8(buf, pts, rc);
+    for (u32 l = 0; l < cnt; ++l)
+      if (rc[l]) {
+        err.store(err_malformed);
+        return;
+      }
+    if (check_subgroup) {
+      bool ok[8];
+      g1_subgroup_v8(pts, ok);
+      for (u32 l = 0; l < cnt; ++l)
+        if (!ok[l]) {
+          err.store(err_subgroup);
+          return;
+        }
+    }
+    for (u32 l = 0; l < cnt; ++l) out[lo + l] = pts[l];
+  });
+  return err.load();
+}
+
 // Parse + canonicality-check blob elements into standard 64-limb values AND
 // 52-limb planes for the vector engine (blob_to_polynomial, kzg.rs:282-291).
 static bool blob_elems_std52(const u8 *blob, u32 n, std::vector<Fr> &elems,
@@ -2411,6 +2585,91 @@ static bool blob_elems_std52(const u8 *blob, u32 n, std::vector<Fr> &elems,
 }
 
 #endif  // __AVX512IFMA__
+
+// Batch variant; err_flags[i] = 0 ok / 1 malformed.  Returns count of errors.
+// 8-wide IFMA sqrt chains when available, scalar otherwise.
+int kzg_g1_uncompress_batch(const u8 *in, int n, u8 *out_xy, u8 *out_inf,
+                            u8 *err_flags) {
+  ensure_init();
+  std::atomic<int> errors(0);
+#ifdef KZG_HAVE_IFMA
+  std::call_once(FP52_INIT_FLAG, fp52_init);
+  const int ngroups = (n + 7) / 8;
+  parallel_for(ngroups, [&](int g) {
+    const int lo = 8 * g;
+    const int cnt = (n - lo < 8) ? (n - lo) : 8;
+    u8 buf[48 * 8];
+    memcpy(buf, in + 48 * (size_t)lo, 48 * (size_t)cnt);
+    for (int l = cnt; l < 8; ++l) {
+      memset(buf + 48 * l, 0, 48);
+      buf[48 * l] = 0xC0;
+    }
+    G1Aff pts[8];
+    int rc[8];
+    g1_uncompress_v8(buf, pts, rc);
+    for (int l = 0; l < cnt; ++l) {
+      err_flags[lo + l] = (u8)rc[l];
+      if (rc[l]) {
+        errors.fetch_add(1);
+        continue;
+      }
+      int inf;
+      g1aff_to_bytes(pts[l], out_xy + 96 * (size_t)(lo + l), &inf);
+      out_inf[lo + l] = (u8)inf;
+    }
+  });
+#else
+  parallel_for(n, [&](int i) {
+    G1Aff p;
+    int rc = g1_uncompress_impl(in + 48 * i, p);
+    err_flags[i] = (u8)rc;
+    if (rc) {
+      errors.fetch_add(1);
+      return;
+    }
+    int inf;
+    g1aff_to_bytes(p, out_xy + 96 * i, &inf);
+    out_inf[i] = (u8)inf;
+  });
+#endif
+  return errors.load();
+}
+
+// ret 1 if ALL points pass.  8-wide IFMA GLV ladders when available.
+int kzg_g1_subgroup_batch(const u8 *xy, const u8 *inf, int n) {
+  ensure_init();
+  std::atomic<int> ok(1);
+#ifdef KZG_HAVE_IFMA
+  std::call_once(FP52_INIT_FLAG, fp52_init);
+  const int ngroups = (n + 7) / 8;
+  parallel_for(ngroups, [&](int g) {
+    if (!ok.load()) return;
+    const int lo = 8 * g;
+    const int cnt = (n - lo < 8) ? (n - lo) : 8;
+    G1Aff pts[8];
+    for (int l = 0; l < 8; ++l) pts[l] = {FP_ZERO, FP_ZERO, true};
+    for (int l = 0; l < cnt; ++l)
+      if (!g1aff_from_bytes(xy + 96 * (size_t)(lo + l), inf[lo + l], pts[l])) {
+        ok.store(0);
+        return;
+      }
+    bool good[8];
+    g1_subgroup_v8(pts, good);
+    for (int l = 0; l < cnt; ++l)
+      if (!good[l]) {
+        ok.store(0);
+        return;
+      }
+  });
+#else
+  parallel_for(n, [&](int i) {
+    G1Aff p;
+    if (!g1aff_from_bytes(xy + 96 * i, inf[i], p) || !g1_subgroup(p))
+      ok.store(0);
+  });
+#endif
+  return ok.load();
+}
 
 // ---- Barycentric evaluation (the verify-path hot loop) ---------------------
 //
@@ -2642,6 +2901,19 @@ int kzg_verify_blob_batch(void *ctx_p, const u8 *blobs, u32 nb,
   const u32 n = ctx->n;
   std::vector<G1Aff> C(nb), P(nb);
   std::vector<Fr> zs(nb), ys(nb);  // standard domain
+  // Point decode + validation (validate_kzg_g1, utils.rs:282-310: on-curve
+  // via uncompress, infinity accepted, subgroup required) — 8-wide when the
+  // IFMA engine is present, scalar inside the per-blob loop otherwise.
+  bool decoded = false;
+#ifdef KZG_HAVE_IFMA
+  {
+    int rc = g1_decode_points_v8(comms, nb, C.data(), true, 1, 6);
+    if (rc) return rc;
+    rc = g1_decode_points_v8(proofs, nb, P.data(), true, 5, 6);
+    if (rc) return rc;
+    decoded = true;
+  }
+#endif
   std::atomic<int> err(0);
   std::atomic<u32> next(0);
   int nw = n_workers();
@@ -2658,23 +2930,23 @@ int kzg_verify_blob_batch(void *ctx_p, const u8 *blobs, u32 nb,
         u32 bi = next.fetch_add(1);
         if (bi >= nb || err.load()) break;
         const u8 *blob = blobs + (size_t)bi * n * 32;
-        // Point decode + validation (validate_kzg_g1, utils.rs:282-310:
-        // on-curve via uncompress, infinity accepted, subgroup required).
-        if (g1_uncompress_impl(comms + 48 * bi, C[bi])) {
-          err.store(1);
-          break;
-        }
-        if (!g1_subgroup(C[bi])) {
-          err.store(6);
-          break;
-        }
-        if (g1_uncompress_impl(proofs + 48 * bi, P[bi])) {
-          err.store(5);
-          break;
-        }
-        if (!g1_subgroup(P[bi])) {
-          err.store(6);
-          break;
+        if (!decoded) {
+          if (g1_uncompress_impl(comms + 48 * bi, C[bi])) {
+            err.store(1);
+            break;
+          }
+          if (!g1_subgroup(C[bi])) {
+            err.store(6);
+            break;
+          }
+          if (g1_uncompress_impl(proofs + 48 * bi, P[bi])) {
+            err.store(5);
+            break;
+          }
+          if (!g1_subgroup(P[bi])) {
+            err.store(6);
+            break;
+          }
         }
         // Fiat-Shamir challenge (compute_challenge, kzg.rs:298-339).
         Sha256 h;

@@ -269,6 +269,83 @@ int main() {
     printf("ok: g1_bucket_accum_v8 vs scalar (200 random entries)\n");
   }
 
+  // 7. g1_uncompress_v8 vs g1_uncompress_impl: valid points (both y signs),
+  //    infinity, malformed flags, off-curve x.
+  {
+    u8 comp[48 * 8];
+    G1Jac acc = {G1_GEN_X_M, G1_GEN_Y_M, FP_ONE_M};
+    G1Aff gen = {G1_GEN_X_M, G1_GEN_Y_M, false};
+    for (int l = 0; l < 5; ++l) {
+      g1_compress_impl(g1_to_aff(acc), comp + 48 * l);
+      acc = g1_add_mixed(acc, gen);
+    }
+    memset(comp + 48 * 5, 0, 48);
+    comp[48 * 5] = 0xC0;  // infinity
+    memset(comp + 48 * 6, 0, 48);
+    comp[48 * 6] = 0x00;  // missing compressed flag -> malformed
+    memset(comp + 48 * 7, 0, 48);
+    comp[48 * 7] = 0x80;
+    comp[48 * 7 + 47] = 0x07;  // x = 7: x^3+4 is a non-residue -> off-curve
+    G1Aff got[8];
+    int rc[8];
+    g1_uncompress_v8(comp, got, rc);
+    for (int l = 0; l < 8; ++l) {
+      G1Aff want;
+      int wrc = g1_uncompress_impl(comp + 48 * l, want);
+      if (rc[l] != wrc) {
+        printf("FAIL uncompress_v8 rc lane %d: %d vs %d\n", l, rc[l], wrc);
+        return 1;
+      }
+      if (!wrc && (got[l].inf != want.inf ||
+                   (!want.inf && (!fp_eq2(got[l].x, want.x) ||
+                                  !fp_eq2(got[l].y, want.y))))) {
+        printf("FAIL uncompress_v8 point lane %d\n", l);
+        return 1;
+      }
+    }
+    printf("ok: g1_uncompress_v8 vs scalar (valid/inf/malformed/off-curve)\n");
+  }
+
+  // 8. g1_subgroup_v8 vs g1_subgroup: in-subgroup points, infinity, and an
+  //    on-curve point OUTSIDE G1 (found by scanning x for a sqrt).
+  {
+    G1Aff pts[8];
+    G1Jac acc = {G1_GEN_X_M, G1_GEN_Y_M, FP_ONE_M};
+    G1Aff gen = {G1_GEN_X_M, G1_GEN_Y_M, false};
+    for (int l = 0; l < 6; ++l) {
+      pts[l] = g1_to_aff(acc);
+      acc = g1_add_mixed(acc, gen);
+    }
+    pts[6] = {FP_ZERO, FP_ZERO, true};  // infinity
+    // on-curve, not in G1: try x = 2, 3, ... until y^2 = x^3+4 has a root
+    bool found = false;
+    for (u64 xi = 2; xi < 40 && !found; ++xi) {
+      u64 xv[6] = {xi, 0, 0, 0, 0, 0};
+      Fp x;
+      to_mont<6>(FP, xv, x.v);
+      Fp y2 = fp_add(fp_mul(fp_sqr(x), x), FP_B4);
+      Fp y;
+      pow_mont<6>(FP, y2.v, FP.exp_sqrt, 48, y.v);
+      if (fp_eq(fp_sqr(y), y2)) {
+        pts[7] = {x, y, false};
+        found = g1_subgroup(pts[7]) == false;  // want a non-G1 point
+      }
+    }
+    if (!found) {
+      printf("FAIL could not find on-curve non-G1 point\n");
+      return 1;
+    }
+    bool ok[8];
+    g1_subgroup_v8(pts, ok);
+    for (int l = 0; l < 8; ++l)
+      if (ok[l] != g1_subgroup(pts[l])) {
+        printf("FAIL subgroup_v8 lane %d: %d vs %d\n", l, ok[l],
+               g1_subgroup(pts[l]));
+        return 1;
+      }
+    printf("ok: g1_subgroup_v8 vs scalar (G1 members/infinity/non-member)\n");
+  }
+
   printf("ALL V8 UNIT TESTS PASS\n");
   return 0;
 #endif
