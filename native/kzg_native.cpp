@@ -25,7 +25,10 @@
 // G2 as x.c0||x.c1||y.c0||y.c1); infinity carried as a separate flag.
 
 #include <atomic>
+#include <chrono>
 #include <cstdint>
+#include <cstdio>
+#include <cstdlib>
 #include <cstring>
 #include <mutex>
 #include <thread>
@@ -1221,6 +1224,22 @@ static int n_workers() {
   if (hw == 0) hw = 4;
   if (hw > 16) hw = 16;
   return (int)hw;
+}
+
+// Phase timing for KZG_NATIVE_PROFILE=1 (stderr; perf tuning only).
+static bool profile_enabled() {
+  static int v = -1;
+  if (v < 0) {
+    const char *e = getenv("KZG_NATIVE_PROFILE");
+    v = (e && e[0] == '1') ? 1 : 0;
+  }
+  return v == 1;
+}
+
+static double now_ms() {
+  return std::chrono::duration<double, std::milli>(
+             std::chrono::steady_clock::now().time_since_epoch())
+      .count();
 }
 
 template <typename F>
@@ -2680,6 +2699,133 @@ int kzg_g1_subgroup_batch(const u8 *xy, const u8 *inf, int n) {
 // handled by the caller BEFORE calling (kzg.rs:360-362), as the Python
 // backends already do.
 
+#ifdef KZG_HAVE_IFMA
+// Variable-base Pippenger MSM on the 8-lane IFMA bucket accumulator.
+// Unlike g1_msm_fixed there is no precomputed shift table: every window
+// keeps its own bucket range inside one merged id space
+// (id = w*nbuckets + b), so the bucket-major entry list stays contiguous
+// per window and threads can split on window boundaries without flush
+// races.  Computes the same group element as g1_msm_pippenger
+// (differential-tested, native/test_v8.cpp); used for the batch-verify
+// lincombs over runtime bases (reference: kzg.rs:601-616).
+static G1Jac g1_msm_var_v8(const std::vector<G1Aff> &pts, const u8 *scalars,
+                           int n) {
+  std::call_once(FP52_INIT_FLAG, fp52_init);
+  const bool prof = profile_enabled();
+  const double t0 = prof ? now_ms() : 0.0;
+  // Window width trades 8-wide accumulation (entries/8 vector adds) against
+  // scalar-Jacobian bucket reduction (2*nwin*2^(c-1) adds).  The scalar adds
+  // are ~6x costlier per op than a vector-lane add, so the optimum sits
+  // lower than the scalar path's pippenger_window: c=5 up to n=512.
+  const int c = (n < 512) ? 5 : pippenger_window(n);
+  const int nwin = (256 + c - 1) / c + 1;
+  const int nbuckets = 1 << (c - 1);
+  const int nb_total = nwin * nbuckets;
+
+  std::vector<int32_t> digits((size_t)n * nwin);
+  parallel_for(n, [&](int i) {
+    signed_digits(scalars + 32 * i, c, nwin, &digits[(size_t)i * nwin]);
+  });
+
+  // 52-limb plane table of the input points (lane gathers by point index).
+  const size_t stride = (size_t)n;
+  std::vector<u64> tbl52(16 * stride, 0);
+  parallel_for(n, [&](int i) {
+    if (pts[i].inf) return;  // zeroed rows are never gathered
+    u64 x52[8], y52[8];
+    fp52_from_fp(pts[i].x.v, x52);
+    fp52_from_fp(pts[i].y.v, y52);
+    for (int l = 0; l < 8; ++l) {
+      tbl52[(size_t)l * stride + i] = x52[l];
+      tbl52[(size_t)(8 + l) * stride + i] = y52[l];
+    }
+  });
+
+  // Counting-sort (window-major merged bucket id) -> bucket-major entries.
+  std::vector<u32> offs(nb_total + 1, 0);
+  for (int i = 0; i < n; ++i) {
+    if (pts[i].inf) continue;
+    const int32_t *dg = &digits[(size_t)i * nwin];
+    for (int w = 0; w < nwin; ++w) {
+      const int32_t d = dg[w];
+      if (d == 0) continue;
+      ++offs[(size_t)w * nbuckets + (d > 0 ? d - 1 : -d - 1) + 1];
+    }
+  }
+  for (int b = 0; b < nb_total; ++b) offs[b + 1] += offs[b];
+  std::vector<u64> entries(offs[nb_total]);
+  std::vector<u32> fill(offs.begin(), offs.end() - 1);
+  for (int i = 0; i < n; ++i) {
+    if (pts[i].inf) continue;
+    const int32_t *dg = &digits[(size_t)i * nwin];
+    for (int w = 0; w < nwin; ++w) {
+      const int32_t d = dg[w];
+      if (d == 0) continue;
+      const u64 b = (u64)w * nbuckets + (d > 0 ? d - 1 : -d - 1);
+      const u64 neg = d < 0;
+      entries[fill[b]++] = (b << 33) | (neg << 32) | (u64)i;
+    }
+  }
+
+  const double t_prep = prof ? now_ms() : 0.0;
+  // Accumulate: threads take disjoint window ranges (their entry
+  // subranges are bucket-aligned, so bucket flushes never race).
+  std::vector<G1Jac> buckets(nb_total, g1_jac_inf());
+  int nthr = n_workers();
+  if (nthr > nwin) nthr = nwin;
+  const int wchunk = (nwin + nthr - 1) / nthr;
+  std::vector<std::thread> threads;
+  for (int t = 0; t < nthr; ++t)
+    threads.emplace_back([&, t]() {
+      const int w0 = t * wchunk;
+      const int w1 = (nwin < w0 + wchunk) ? nwin : w0 + wchunk;
+      if (w0 >= w1) return;
+      const size_t e0 = offs[(size_t)w0 * nbuckets];
+      const size_t e1 = offs[(size_t)w1 * nbuckets];
+      if (e1 > e0)
+        g1_bucket_accum_v8(tbl52.data(), stride, entries.data() + e0,
+                           e1 - e0, buckets);
+    });
+  for (auto &th : threads) th.join();
+  const double t_accum = prof ? now_ms() : 0.0;
+
+  // Per-window weighted reduction, then the window combine ladder.
+  std::vector<G1Jac> wsum(nwin);
+  parallel_for(nwin, [&](int w) {
+    G1Jac acc = g1_jac_inf(), sum = g1_jac_inf();
+    for (int b = nbuckets - 1; b >= 0; --b) {
+      acc = g1_add_jac(acc, buckets[(size_t)w * nbuckets + b]);
+      sum = g1_add_jac(sum, acc);
+    }
+    wsum[w] = sum;
+  });
+  G1Jac total = g1_jac_inf();
+  for (int w = nwin - 1; w >= 0; --w) {
+    for (int d = 0; d < c; ++d) total = g1_dbl(total);
+    total = g1_add_jac(total, wsum[w]);
+  }
+  if (prof) {
+    const double t_red = now_ms();
+    fprintf(stderr,
+            "[kzg_native] msm_var_v8 n=%d c=%d: prep=%.2fms accum=%.2fms "
+            "reduce=%.2fms entries=%u\n",
+            n, c, t_prep - t0, t_accum - t_prep, t_red - t_accum,
+            offs[nb_total]);
+  }
+  return total;
+}
+#endif  // KZG_HAVE_IFMA
+
+// Dispatch: vector engine when present and the size warrants it, scalar
+// bucket method otherwise (identical results either way).
+static G1Jac g1_msm_auto(const std::vector<G1Aff> &pts, const u8 *scalars,
+                         int n) {
+#ifdef KZG_HAVE_IFMA
+  if (n >= 8) return g1_msm_var_v8(pts, scalars, n);
+#endif
+  return g1_msm_pippenger(pts, scalars, n);
+}
+
 struct BaryCtx {
   u32 n;
   std::vector<Fr> roots;  // Montgomery, bit-reversal order (as stored)
@@ -2899,6 +3045,8 @@ int kzg_verify_blob_batch(void *ctx_p, const u8 *blobs, u32 nb,
   ensure_init();
   VerifyCtx *ctx = (VerifyCtx *)ctx_p;
   const u32 n = ctx->n;
+  const bool prof = profile_enabled();
+  double t0 = prof ? now_ms() : 0.0;
   std::vector<G1Aff> C(nb), P(nb);
   std::vector<Fr> zs(nb), ys(nb);  // standard domain
   // Point decode + validation (validate_kzg_g1, utils.rs:282-310: on-curve
@@ -2914,6 +3062,7 @@ int kzg_verify_blob_batch(void *ctx_p, const u8 *blobs, u32 nb,
     decoded = true;
   }
 #endif
+  double t_decode = prof ? now_ms() : 0.0;
   std::atomic<int> err(0);
   std::atomic<u32> next(0);
   int nw = n_workers();
@@ -3038,6 +3187,7 @@ int kzg_verify_blob_batch(void *ctx_p, const u8 *blobs, u32 nb,
     });
   for (auto &t : threads) t.join();
   if (err.load()) return err.load();
+  double t_perblob = prof ? now_ms() : 0.0;
 
   // RLC challenge powers (compute_r_powers, utils.rs:426-474).
   Sha256 h;
@@ -3086,11 +3236,13 @@ int kzg_verify_blob_batch(void *ctx_p, const u8 *blobs, u32 nb,
   Fr ry_std = ry_m;
 
   // LHS = sum r^i proof_i ; RHS = sum r^i C_i + sum (r^i z_i) proof_i - ry*G.
+  double t_rlc = prof ? now_ms() : 0.0;
   std::vector<G1Aff> cp(2 * nb);
   for (u32 i = 0; i < nb; ++i) cp[i] = C[i];
   for (u32 i = 0; i < nb; ++i) cp[nb + i] = P[i];
-  G1Jac lhs = g1_msm_pippenger(P, r_be.data(), (int)nb);
-  G1Jac rhs = g1_msm_pippenger(cp, rz_be.data(), (int)(2 * nb));
+  G1Jac lhs = g1_msm_auto(P, r_be.data(), (int)nb);
+  G1Jac rhs = g1_msm_auto(cp, rz_be.data(), (int)(2 * nb));
+  double t_msm = prof ? now_ms() : 0.0;
   if (!is_zero_n<4>(ry_std.v)) {
     u8 ry_be[32];
     to_be<4>(ry_std.v, 32, ry_be);
@@ -3109,6 +3261,14 @@ int kzg_verify_blob_batch(void *ctx_p, const u8 *blobs, u32 nb,
   if (!rhs_a.inf) f2 = miller_loop(rhs_a, ctx->g2_gen);
   if (t1.joinable()) t1.join();
   *out_ok = fp12_is_one(final_exponentiation(fp12_mul(f1, f2))) ? 1 : 0;
+  if (prof) {
+    double t_pair = now_ms();
+    fprintf(stderr,
+            "[kzg_native] verify_blob_batch nb=%u: decode=%.2fms "
+            "perblob=%.2fms rlc=%.2fms msm=%.2fms pair=%.2fms total=%.2fms\n",
+            nb, t_decode - t0, t_perblob - t_decode, t_rlc - t_perblob,
+            t_msm - t_rlc, t_pair - t_msm, t_pair - t0);
+  }
   return 0;
 }
 

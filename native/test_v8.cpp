@@ -346,6 +346,36 @@ int main() {
     printf("ok: g1_subgroup_v8 vs scalar (G1 members/infinity/non-member)\n");
   }
 
+  // variable-base vector MSM vs scalar Pippenger (random points incl.
+  // infinity lanes and zero scalars)
+  {
+    for (int n : {8, 33, 64, 128, 300}) {
+      std::vector<G1Aff> pts(n);
+      std::vector<u8> scalars((size_t)32 * n);
+      G1Jac g = {G1_GEN_X_M, G1_GEN_Y_M, FP_ONE_M};
+      for (int i = 0; i < n; ++i) {
+        if (i % 17 == 3) {
+          pts[i] = {FP_ZERO, FP_ZERO, true};
+        } else {
+          u8 k[32];
+          for (int j = 0; j < 32; ++j) k[j] = (u8)rnd64();
+          k[0] = 0;  // < r
+          pts[i] = g1_to_aff(g1_mul_jac(g, k, 32));
+        }
+        for (int j = 0; j < 32; ++j) scalars[32 * i + j] = (u8)rnd64();
+        scalars[32 * i] = 0;  // < r
+        if (i % 13 == 5) memset(&scalars[32 * i], 0, 32);
+      }
+      G1Aff a = g1_to_aff(g1_msm_pippenger(pts, scalars.data(), n));
+      G1Aff b = g1_to_aff(g1_msm_var_v8(pts, scalars.data(), n));
+      if (a.inf != b.inf || (!a.inf && (!fp_eq2(a.x, b.x) || !fp_eq2(a.y, b.y)))) {
+        printf("FAIL msm_var_v8 vs scalar n=%d\n", n);
+        return 1;
+      }
+    }
+    printf("ok: g1_msm_var_v8 vs scalar Pippenger\n");
+  }
+
   printf("ALL V8 UNIT TESTS PASS\n");
   return 0;
 #endif
