@@ -84,11 +84,14 @@ class JaxBackend(GoldenBackend):
                 for b in blobs:
                     if len(b) != preset.bytes_per_blob:
                         raise BadArgs("blob_to_polynomial: invalid blob length")
+                comms = b"".join(bytes(b) for b in commitments_bytes)
+                proofs = b"".join(bytes(b) for b in proofs_bytes)
+                if all(isinstance(b, bytes) for b in blobs):
+                    # Blob subclasses bytes: pointers cross the boundary,
+                    # the ~17MB of blob payload is never copied.
+                    return fused.verify_scatter(blobs, n, comms, proofs)
                 return fused.verify(
-                    b"".join(bytes(b) for b in blobs),
-                    n,
-                    b"".join(bytes(b) for b in commitments_bytes),
-                    b"".join(bytes(b) for b in proofs_bytes),
+                    b"".join(bytes(b) for b in blobs), n, comms, proofs
                 )
             if mode == "host":
                 raise RuntimeError("KZG_TPU_EVAL=host but native runtime unavailable")

@@ -405,6 +405,21 @@ class VerifyCtx:
             raise BadArgs(self._ERRORS.get(rc, f"verify_blob_batch failed ({rc})"))
         return ok.value == 1
 
+    def verify_scatter(self, blobs, nb: int, comms: bytes, proofs: bytes) -> bool:
+        """Zero-copy variant: ``blobs`` is a sequence of nb per-blob byte
+        buffers (each n*32); only their pointers cross the boundary."""
+        from ..errors import BadArgs
+
+        ptrs = (ctypes.c_char_p * nb)(*blobs)
+        ok = ctypes.c_int()
+        rc = self._lib.kzg_verify_blob_batch_ptrs(
+            ctypes.c_void_p(self._handle), ptrs, nb, comms, proofs,
+            ctypes.byref(ok),
+        )
+        if rc:
+            raise BadArgs(self._ERRORS.get(rc, f"verify_blob_batch failed ({rc})"))
+        return ok.value == 1
+
     def verify_single(self, comm48: bytes, z32: bytes, y32: bytes, proof48: bytes) -> bool:
         """Fused verify_kzg_proof (reference: kzg.rs:429-443): decode +
         validation + the pairing equation in one native call."""

@@ -85,8 +85,18 @@ static bool is_zero_n(const u64 *a) {
   return acc == 0;
 }
 
+static inline u64 ld_be64(const u8 *p) {
+  u64 v;
+  memcpy(&v, p, 8);
+  return __builtin_bswap64(v);
+}
+
 template <int N>
 static void from_be(const u8 *in, int nbytes, u64 *out) {
+  if (nbytes == 8 * N) {  // full-width: one bswap64 load per limb
+    for (int i = 0; i < N; ++i) out[i] = ld_be64(in + 8 * (N - 1 - i));
+    return;
+  }
   for (int i = 0; i < N; ++i) out[i] = 0;
   for (int i = 0; i < nbytes; ++i) {
     int bit = (nbytes - 1 - i) * 8;
@@ -96,6 +106,13 @@ static void from_be(const u8 *in, int nbytes, u64 *out) {
 
 template <int N>
 static void to_be(const u64 *in, int nbytes, u8 *out) {
+  if (nbytes == 8 * N) {
+    for (int i = 0; i < N; ++i) {
+      const u64 v = __builtin_bswap64(in[N - 1 - i]);
+      memcpy(out + 8 * i, &v, 8);
+    }
+    return;
+  }
   for (int i = 0; i < nbytes; ++i) {
     int bit = (nbytes - 1 - i) * 8;
     out[i] = (u8)(in[bit / 64] >> (bit % 64));
@@ -3040,8 +3057,12 @@ void kzg_verify_ctx_free(void *ctx) { delete (VerifyCtx *)ctx; }
 //   1 malformed commitment, 5 malformed proof, 6 subgroup failure,
 //   2 non-canonical blob element, 4 zero denominator (unreachable after
 //   the in-domain short-circuit, kept for parity with fr_batch_inv).
-int kzg_verify_blob_batch(void *ctx_p, const u8 *blobs, u32 nb,
-                          const u8 *comms, const u8 *proofs, int *out_ok) {
+// Scatter-pointer variant: blob_ptrs[i] -> i-th blob (n*32 bytes).  Lets the
+// Python layer pass its per-blob buffers zero-copy instead of joining them
+// into one contiguous allocation (~17MB per 128-blob call).
+int kzg_verify_blob_batch_ptrs(void *ctx_p, const u8 *const *blob_ptrs,
+                               u32 nb, const u8 *comms, const u8 *proofs,
+                               int *out_ok) {
   ensure_init();
   VerifyCtx *ctx = (VerifyCtx *)ctx_p;
   const u32 n = ctx->n;
@@ -3078,7 +3099,7 @@ int kzg_verify_blob_batch(void *ctx_p, const u8 *blobs, u32 nb,
       for (;;) {
         u32 bi = next.fetch_add(1);
         if (bi >= nb || err.load()) break;
-        const u8 *blob = blobs + (size_t)bi * n * 32;
+        const u8 *blob = blob_ptrs[bi];
         if (!decoded) {
           if (g1_uncompress_impl(comms + 48 * bi, C[bi])) {
             err.store(1);
@@ -3270,6 +3291,16 @@ int kzg_verify_blob_batch(void *ctx_p, const u8 *blobs, u32 nb,
             t_msm - t_rlc, t_pair - t_msm, t_pair - t0);
   }
   return 0;
+}
+
+// Contiguous-buffer variant (blobs = nb * n * 32 bytes back to back).
+int kzg_verify_blob_batch(void *ctx_p, const u8 *blobs, u32 nb,
+                          const u8 *comms, const u8 *proofs, int *out_ok) {
+  VerifyCtx *ctx = (VerifyCtx *)ctx_p;
+  std::vector<const u8 *> ptrs(nb);
+  for (u32 i = 0; i < nb; ++i) ptrs[i] = blobs + (size_t)i * ctx->n * 32;
+  return kzg_verify_blob_batch_ptrs(ctx_p, ptrs.data(), nb, comms, proofs,
+                                    out_ok);
 }
 
 // ---- Fused prover ----------------------------------------------------------
