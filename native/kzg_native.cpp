@@ -2288,24 +2288,98 @@ static void fp52_to_fp(const u64 *a, u64 *fp_mont) {
   fp_from52(s, fp_mont);
 }
 
+// Bucket storage for the vector MSM: RCB projective points as 52-limb
+// Montgomery' planes, plane[coord*8+limb][slot].  Slots hold (0 : 1 : 0)
+// (projective infinity) until first written; `occ` tracks writes so the
+// common flush is a plain store, not a point addition.  The slot layout is
+// caller-chosen via (bshift, rowlen): merged bucket id b maps to
+// slot = (b & ((1<<bshift)-1)) * rowlen + (b >> bshift), which puts the
+// same bucket index of consecutive windows side by side so the reduction
+// can load 8 windows as one zmm vector.
+struct PlaneBuckets {
+  size_t nslots = 0;
+  std::vector<u64> pl;
+  std::vector<u8> occ;
+  void init(size_t n) {
+    nslots = n;
+    pl.assign(24 * n, 0);
+    occ.assign(n, 0);
+    for (int i = 0; i < 8; ++i) {
+      u64 *y = plane(1, i);
+      const u64 v = FP52_ONE_M[i];
+      for (size_t s = 0; s < n; ++s) y[s] = v;
+    }
+  }
+  u64 *plane(int coord, int limb) {
+    return pl.data() + (size_t)(coord * 8 + limb) * nslots;
+  }
+  const u64 *plane(int coord, int limb) const {
+    return pl.data() + (size_t)(coord * 8 + limb) * nslots;
+  }
+};
+
+// RCB projective 52-limb lane -> Jacobian.  False = point at infinity.
+static bool p52_to_jac(const u64 px[8], const u64 py[8], const u64 pz[8],
+                       G1Jac *out) {
+  Fp x, y, z;
+  fp52_to_fp(pz, z.v);
+  if (fp_is_zero(z)) return false;
+  fp52_to_fp(px, x.v);
+  fp52_to_fp(py, y.v);
+  Fp z2 = fp_sqr(z);
+  *out = {fp_mul(x, z), fp_mul(y, z2), z};
+  return true;
+}
+
+// Jacobian -> RCB projective 52-limb lane: (X : Y : Z)jac = (XZ : Y : Z^3).
+static void jac_to_p52(const G1Jac &j, u64 px[8], u64 py[8], u64 pz[8]) {
+  Fp xz = fp_mul(j.x, j.z), z3 = fp_mul(fp_sqr(j.z), j.z);
+  fp52_from_fp(xz.v, px);
+  fp52_from_fp(j.y.v, py);
+  fp52_from_fp(z3.v, pz);
+}
+
+// Rare-path merge of a Jacobian value into a plane slot (used for the
+// handful of buckets that straddle a lane-segment boundary).
+static void pb_merge_jac(PlaneBuckets &pb, u32 slot, const G1Jac &j) {
+  u64 px[8], py[8], pz[8];
+  for (int i = 0; i < 8; ++i) {
+    px[i] = pb.plane(0, i)[slot];
+    py[i] = pb.plane(1, i)[slot];
+    pz[i] = pb.plane(2, i)[slot];
+  }
+  G1Jac cur;
+  G1Jac sum = p52_to_jac(px, py, pz, &cur) ? g1_add_jac(cur, j) : j;
+  jac_to_p52(sum, px, py, pz);
+  for (int i = 0; i < 8; ++i) {
+    pb.plane(0, i)[slot] = px[i];
+    pb.plane(1, i)[slot] = py[i];
+    pb.plane(2, i)[slot] = pz[i];
+  }
+  pb.occ[slot] = 1;
+}
+
 // 8-lane lock-step Pippenger bucket accumulation over the 52-limb plane
 // copy of the fixed-base table.  `entries` is this thread's pair list,
 // counting-sorted by bucket: (bucket << 33) | (neg << 32) | table_index.
 // Each SIMD lane walks a contiguous segment; because entries are
 // bucket-major, a lane keeps one RCB projective accumulator in registers
-// and flushes it into `buckets` (Jacobian) only when its bucket changes.
-// A bucket split across two lane segments simply receives two flushes -
-// the flush *adds* into the bucket.  Infinity needs no special casing:
-// the RCB complete formulas absorb it (same property the device path's
-// proj_add_mixed relies on, kzg_rust_tpu/ops/curve.py).
+// and flushes it only when its bucket changes.  The first flush of a slot
+// is a plain 24-word store into the plane buckets; only a bucket split
+// across two lane segments needs a real merge, deferred via `overflow`
+// (callers apply pb_merge_jac after joining their threads).  Infinity
+// needs no special casing: the RCB complete formulas absorb it (same
+// property the device path's proj_add_mixed relies on, ops/curve.py).
 static void g1_bucket_accum_v8(const u64 *tbl52, size_t stride,
-                               const u64 *entries, size_t ne,
-                               std::vector<G1Jac> &buckets) {
+                               const u64 *entries, size_t ne, PlaneBuckets &pb,
+                               int bshift, u32 rowlen,
+                               std::vector<std::pair<u32, G1Jac>> &overflow) {
   const u64 *xp[8], *yp[8];
   for (int l = 0; l < 8; ++l) {
     xp[l] = tbl52 + (size_t)l * stride;
     yp[l] = tbl52 + (size_t)(8 + l) * stride;
   }
+  const u32 bmask = (1u << bshift) - 1;
   size_t pos[8], end[8];
   int cur_b[8];
   for (int l = 0; l < 8; ++l) {
@@ -2337,15 +2411,19 @@ static void g1_bucket_accum_v8(const u64 *tbl52, size_t stride,
       py[i] = ly[i][lane];
       pz[i] = lz[i][lane];
     }
-    // Projective (X:Y:Z) -> Jacobian (XZ, YZ^2, Z); Z = 0 stays infinity.
-    Fp x, y, z;
-    fp52_to_fp(pz, z.v);
-    if (fp_is_zero(z)) return;
-    fp52_to_fp(px, x.v);
-    fp52_to_fp(py, y.v);
-    Fp z2 = fp_sqr(z);
-    G1Jac j = {fp_mul(x, z), fp_mul(y, z2), z};
-    buckets[cur_b[lane]] = g1_add_jac(buckets[cur_b[lane]], j);
+    const u32 b = (u32)cur_b[lane];
+    const u32 slot = (b & bmask) * rowlen + (b >> bshift);
+    if (!pb.occ[slot]) {
+      for (int i = 0; i < 8; ++i) {
+        pb.plane(0, i)[slot] = px[i];
+        pb.plane(1, i)[slot] = py[i];
+        pb.plane(2, i)[slot] = pz[i];
+      }
+      pb.occ[slot] = 1;
+      return;
+    }
+    G1Jac j;
+    if (p52_to_jac(px, py, pz, &j)) overflow.emplace_back(slot, j);
   };
   auto set_lane_inf = [&](int lane) {
     const __mmask8 m = (__mmask8)(1u << lane);
@@ -2785,12 +2863,19 @@ static G1Jac g1_msm_var_v8(const std::vector<G1Aff> &pts, const u8 *scalars,
   }
 
   const double t_prep = prof ? now_ms() : 0.0;
-  // Accumulate: threads take disjoint window ranges (their entry
-  // subranges are bucket-aligned, so bucket flushes never race).
-  std::vector<G1Jac> buckets(nb_total, g1_jac_inf());
+  // Accumulate into shared plane buckets: threads take disjoint window
+  // ranges (entry subranges are bucket-aligned and, since
+  // slot = bucket * rowlen + window, their slot columns are disjoint, so
+  // flushes never race).  rowlen is padded to 8 so the reduction can load
+  // 8 consecutive windows of one bucket as a single zmm vector.
+  const int bshift = c - 1;
+  const u32 rowlen = (u32)((nwin + 7) & ~7);
+  PlaneBuckets pb;
+  pb.init((size_t)nbuckets * rowlen);
   int nthr = n_workers();
   if (nthr > nwin) nthr = nwin;
   const int wchunk = (nwin + nthr - 1) / nthr;
+  std::vector<std::vector<std::pair<u32, G1Jac>>> ovf(nthr);
   std::vector<std::thread> threads;
   for (int t = 0; t < nthr; ++t)
     threads.emplace_back([&, t]() {
@@ -2801,20 +2886,47 @@ static G1Jac g1_msm_var_v8(const std::vector<G1Aff> &pts, const u8 *scalars,
       const size_t e1 = offs[(size_t)w1 * nbuckets];
       if (e1 > e0)
         g1_bucket_accum_v8(tbl52.data(), stride, entries.data() + e0,
-                           e1 - e0, buckets);
+                           e1 - e0, pb, bshift, rowlen, ovf[t]);
     });
   for (auto &th : threads) th.join();
+  for (auto &v : ovf)
+    for (auto &pr : v) pb_merge_jac(pb, pr.first, pr.second);
   const double t_accum = prof ? now_ms() : 0.0;
 
-  // Per-window weighted reduction, then the window combine ladder.
+  // Per-window weighted reduction, 8 windows per lane group in one zmm
+  // ladder (the scalar version of this loop dominated the old reduce).
   std::vector<G1Jac> wsum(nwin);
-  parallel_for(nwin, [&](int w) {
-    G1Jac acc = g1_jac_inf(), sum = g1_jac_inf();
-    for (int b = nbuckets - 1; b >= 0; --b) {
-      acc = g1_add_jac(acc, buckets[(size_t)w * nbuckets + b]);
-      sum = g1_add_jac(sum, acc);
+  parallel_for((int)(rowlen / 8), [&](int g) {
+    V8 aX, aY, aZ, sX, sY, sZ;
+    for (int i = 0; i < 8; ++i) {
+      aX.l[i] = _mm512_setzero_si512();
+      aY.l[i] = _mm512_set1_epi64(FP52_ONE_M[i]);
+      aZ.l[i] = _mm512_setzero_si512();
+      sX.l[i] = aX.l[i];
+      sY.l[i] = aY.l[i];
+      sZ.l[i] = aZ.l[i];
     }
-    wsum[w] = sum;
+    for (int b = nbuckets - 1; b >= 0; --b) {
+      const size_t off = (size_t)b * rowlen + (size_t)g * 8;
+      V8 bX, bY, bZ;
+      for (int i = 0; i < 8; ++i) {
+        bX.l[i] = _mm512_loadu_si512((const void *)(pb.plane(0, i) + off));
+        bY.l[i] = _mm512_loadu_si512((const void *)(pb.plane(1, i) + off));
+        bZ.l[i] = _mm512_loadu_si512((const void *)(pb.plane(2, i) + off));
+      }
+      v8_padd(aX, aY, aZ, bX, bY, bZ);
+      v8_padd(sX, sY, sZ, aX, aY, aZ);
+    }
+    u64 ex[8][8], ey[8][8], ez[8][8];
+    v8_extract(sX, ex);
+    v8_extract(sY, ey);
+    v8_extract(sZ, ez);
+    for (int l = 0; l < 8; ++l) {
+      const int w = g * 8 + l;
+      if (w >= nwin) continue;
+      G1Jac j;
+      wsum[w] = p52_to_jac(ex[l], ey[l], ez[l], &j) ? j : g1_jac_inf();
+    }
   });
   G1Jac total = g1_jac_inf();
   for (int w = nwin - 1; w >= 0; --w) {
@@ -3361,6 +3473,156 @@ static G1Jac g1_weighted_reduce(std::vector<G1Jac> &buckets, int nbuckets) {
   return total;
 }
 
+#ifdef KZG_HAVE_IFMA
+// Fixed-base vector MSM over one shared merged-window bucket space held in
+// plane layout.  Pipeline: parallel counting sort of (bucket, table-slot)
+// pairs into one bucket-major entry list; 8-lane IFMA bucket accumulation
+// over bucket-aligned thread ranges (disjoint PlaneBuckets slots, so no
+// races); then a vectorized weighted reduction where the 8 zmm lanes each
+// reduce a contiguous range of rsz = nbuckets/8 buckets
+// (slot = (b & (rsz-1)) * 8 + (b >> bshift) puts step i's eight buckets in
+// one contiguous load).
+static G1Jac g1_msm_fixed_v8(const std::vector<G1Aff> &tbl, int nwin, int c,
+                             const std::vector<int32_t> &digits,
+                             const u64 *tbl52, size_t stride, int n) {
+  std::call_once(FP52_INIT_FLAG, fp52_init);
+  const bool prof = profile_enabled();
+  const double t0 = prof ? now_ms() : 0.0;
+  const int nbuckets = 1 << (c - 1);
+  const int bshift = c - 4;  // lane = b >> bshift: 8 lanes of rsz buckets
+  const u32 rsz = 1u << bshift;
+
+  // Parallel counting sort: per-thread histograms over point chunks, then
+  // bucket-major offsets with per-(bucket, thread) scatter cursors.
+  int nthr = n_workers();
+  if (nthr > n) nthr = n > 0 ? n : 1;
+  const int chunk = (n + nthr - 1) / nthr;
+  std::vector<std::vector<u32>> cursor(nthr);
+  parallel_for(nthr, [&](int t) {
+    auto &cnt = cursor[t];
+    cnt.assign((size_t)nbuckets, 0);
+    const int lo = t * chunk, hi = (n < lo + chunk) ? n : lo + chunk;
+    for (int i = lo; i < hi; ++i) {
+      const G1Aff *row = &tbl[(size_t)i * nwin];
+      const int32_t *dg = &digits[(size_t)i * nwin];
+      for (int w = 0; w < nwin; ++w) {
+        const int32_t d = dg[w];
+        if (d == 0 || row[w].inf) continue;
+        ++cnt[d > 0 ? d - 1 : -d - 1];
+      }
+    }
+  });
+  std::vector<u32> offs(nbuckets + 1, 0);
+  u32 run = 0;
+  for (int b = 0; b < nbuckets; ++b) {
+    offs[b] = run;
+    for (int t = 0; t < nthr; ++t) {
+      const u32 cb = cursor[t][b];
+      cursor[t][b] = run;
+      run += cb;
+    }
+  }
+  offs[nbuckets] = run;
+  const size_t ne = run;
+  std::vector<u64> entries(ne);
+  parallel_for(nthr, [&](int t) {
+    auto &fill = cursor[t];
+    const int lo = t * chunk, hi = (n < lo + chunk) ? n : lo + chunk;
+    for (int i = lo; i < hi; ++i) {
+      const G1Aff *row = &tbl[(size_t)i * nwin];
+      const int32_t *dg = &digits[(size_t)i * nwin];
+      for (int w = 0; w < nwin; ++w) {
+        const int32_t d = dg[w];
+        if (d == 0 || row[w].inf) continue;
+        const u64 b = d > 0 ? d - 1 : -d - 1;
+        const u64 neg = d < 0;
+        entries[fill[b]++] = (b << 33) | (neg << 32) | ((u64)i * nwin + w);
+      }
+    }
+  });
+  const double t_prep = prof ? now_ms() : 0.0;
+
+  // Accumulate: thread ranges cut on bucket boundaries so slots stay
+  // disjoint; lane-boundary bucket splits inside a thread go to `ovf`.
+  PlaneBuckets pb;
+  pb.init((size_t)nbuckets);
+  const int athr = n_workers();
+  std::vector<int> bcut(athr + 1, nbuckets);
+  bcut[0] = 0;
+  {
+    int b = 0;
+    for (int t = 1; t < athr; ++t) {
+      const size_t target = ne * (size_t)t / (size_t)athr;
+      while (b < nbuckets && offs[b] < target) ++b;
+      bcut[t] = b;
+    }
+  }
+  std::vector<std::vector<std::pair<u32, G1Jac>>> ovf(athr);
+  parallel_for(athr, [&](int t) {
+    const int b0 = bcut[t], b1 = bcut[t + 1];
+    if (b0 >= b1) return;
+    const size_t e0 = offs[b0], e1 = offs[b1];
+    if (e1 > e0)
+      g1_bucket_accum_v8(tbl52, stride, entries.data() + e0, e1 - e0, pb,
+                         bshift, 8, ovf[t]);
+  });
+  for (auto &v : ovf)
+    for (auto &pr : v) pb_merge_jac(pb, pr.first, pr.second);
+  const double t_accum = prof ? now_ms() : 0.0;
+
+  // Weighted reduction sum_b (b+1)*bucket_b: lane l's ladder yields
+  // sum_l = sum_i (i+1)*bucket[l*rsz+i] and acc_l = sum_i bucket[l*rsz+i];
+  // total = sum_l sum_l + rsz * sum_l l*acc_l.
+  V8 aX, aY, aZ, sX, sY, sZ;
+  for (int i = 0; i < 8; ++i) {
+    aX.l[i] = _mm512_setzero_si512();
+    aY.l[i] = _mm512_set1_epi64(FP52_ONE_M[i]);
+    aZ.l[i] = _mm512_setzero_si512();
+    sX.l[i] = aX.l[i];
+    sY.l[i] = aY.l[i];
+    sZ.l[i] = aZ.l[i];
+  }
+  for (int i = (int)rsz - 1; i >= 0; --i) {
+    const size_t off = (size_t)i * 8;
+    V8 bX, bY, bZ;
+    for (int j = 0; j < 8; ++j) {
+      bX.l[j] = _mm512_loadu_si512((const void *)(pb.plane(0, j) + off));
+      bY.l[j] = _mm512_loadu_si512((const void *)(pb.plane(1, j) + off));
+      bZ.l[j] = _mm512_loadu_si512((const void *)(pb.plane(2, j) + off));
+    }
+    v8_padd(aX, aY, aZ, bX, bY, bZ);
+    v8_padd(sX, sY, sZ, aX, aY, aZ);
+  }
+  u64 eax[8][8], eay[8][8], eaz[8][8], esx[8][8], esy[8][8], esz[8][8];
+  v8_extract(aX, eax);
+  v8_extract(aY, eay);
+  v8_extract(aZ, eaz);
+  v8_extract(sX, esx);
+  v8_extract(sY, esy);
+  v8_extract(sZ, esz);
+  G1Jac total = g1_jac_inf(), corr = g1_jac_inf(), tacc = g1_jac_inf();
+  for (int l = 7; l >= 1; --l) {
+    G1Jac a;
+    if (p52_to_jac(eax[l], eay[l], eaz[l], &a)) tacc = g1_add_jac(tacc, a);
+    corr = g1_add_jac(corr, tacc);
+  }
+  for (int d = 0; d < bshift; ++d) corr = g1_dbl(corr);
+  for (int l = 0; l < 8; ++l) {
+    G1Jac s;
+    if (p52_to_jac(esx[l], esy[l], esz[l], &s)) total = g1_add_jac(total, s);
+  }
+  total = g1_add_jac(total, corr);
+  if (prof) {
+    const double t_red = now_ms();
+    fprintf(stderr,
+            "[kzg_native] msm_fixed_v8 n=%d c=%d: prep=%.2fms accum=%.2fms "
+            "reduce=%.2fms entries=%zu\n",
+            n, c, t_prep - t0, t_accum - t_prep, t_red - t_accum, ne);
+  }
+  return total;
+}
+#endif  // KZG_HAVE_IFMA
+
 // Merged-window fixed-base Pippenger over a precomputed shift table.
 // Same group element as g1_msm_pippenger (differential-tested); ~35% fewer
 // group ops for the 4096-point mainnet MSM.
@@ -3372,6 +3634,12 @@ static G1Jac g1_msm_fixed(const std::vector<G1Aff> &tbl, int nwin, int c,
   parallel_for(n, [&](int i) {
     signed_digits(scalars + 32 * i, c, nwin, &digits[(size_t)i * nwin]);
   });
+#ifdef KZG_HAVE_IFMA
+  if (tbl52 && c >= 4)
+    return g1_msm_fixed_v8(tbl, nwin, c, digits, tbl52, stride52, n);
+#endif
+  (void)tbl52;
+  (void)stride52;
   int nw = n_workers();
   if (nw > n) nw = n > 0 ? n : 1;
   std::vector<std::vector<G1Jac>> tb(nw);
@@ -3383,42 +3651,6 @@ static G1Jac g1_msm_fixed(const std::vector<G1Aff> &tbl, int nwin, int c,
       buckets.assign(nbuckets, g1_jac_inf());
       const int lo = t * chunk;
       const int hi = (n < lo + chunk) ? n : lo + chunk;
-#ifdef KZG_HAVE_IFMA
-      if (tbl52) {
-        // Counting-sort this chunk's (bucket, table-point) pairs into
-        // bucket-major order, then run the 8-lane vector accumulator.
-        std::vector<u32> counts(nbuckets + 1, 0);
-        for (int i = lo; i < hi; ++i) {
-          const G1Aff *row = &tbl[(size_t)i * nwin];
-          const int32_t *dg = &digits[(size_t)i * nwin];
-          for (int w = 0; w < nwin; ++w)
-            if (dg[w] != 0 && !row[w].inf)
-              ++counts[dg[w] > 0 ? dg[w] - 1 : -dg[w] - 1];
-        }
-        std::vector<u32> offs(nbuckets + 1, 0);
-        for (int b = 0; b < nbuckets; ++b) offs[b + 1] = offs[b] + counts[b];
-        const size_t ne = offs[nbuckets];
-        std::vector<u64> entries(ne);
-        std::vector<u32> fill(offs.begin(), offs.end() - 1);
-        for (int i = lo; i < hi; ++i) {
-          const G1Aff *row = &tbl[(size_t)i * nwin];
-          const int32_t *dg = &digits[(size_t)i * nwin];
-          for (int w = 0; w < nwin; ++w) {
-            const int32_t d = dg[w];
-            if (d == 0 || row[w].inf) continue;
-            const u64 b = d > 0 ? d - 1 : -d - 1;
-            const u64 neg = d < 0;
-            entries[fill[b]++] =
-                (b << 33) | (neg << 32) | ((u64)i * nwin + w);
-          }
-        }
-        g1_bucket_accum_v8(tbl52, stride52, entries.data(), ne, buckets);
-        return;
-      }
-#else
-      (void)tbl52;
-      (void)stride52;
-#endif
       for (int i = lo; i < hi; ++i) {
         const G1Aff *row = &tbl[(size_t)i * nwin];
         const int32_t *dg = &digits[(size_t)i * nwin];

@@ -254,11 +254,27 @@ int main() {
           if (raw[e][2]) p.y = fp_neg(p.y);
           want[b] = g1_add_mixed(want[b], p);
         }
-    std::vector<G1Jac> got(nbuckets, g1_jac_inf());
+    // Treat the 8 bucket ids as 2 windows x 4 buckets: bshift=2, rowlen=8,
+    // slot = (b & 3) * 8 + (b >> 2).  Exercises first-store, overflow
+    // merge (lane-boundary splits), and the plane readback.
+    PlaneBuckets pbk;
+    pbk.init(4 * 8);
+    std::vector<std::pair<u32, G1Jac>> ovf;
     g1_bucket_accum_v8(tbl52.data(), stride, entries.data(), entries.size(),
-                       got);
+                       pbk, 2, 8, ovf);
+    for (auto &pr : ovf) pb_merge_jac(pbk, pr.first, pr.second);
     for (int b = 0; b < nbuckets; ++b) {
-      G1Aff ga = g1_to_aff(got[b]), wa = g1_to_aff(want[b]);
+      const u32 slot = (u32)((b & 3) * 8 + (b >> 2));
+      u64 px[8], py[8], pz[8];
+      for (int i = 0; i < 8; ++i) {
+        px[i] = pbk.plane(0, i)[slot];
+        py[i] = pbk.plane(1, i)[slot];
+        pz[i] = pbk.plane(2, i)[slot];
+      }
+      G1Jac gj;
+      G1Aff ga = p52_to_jac(px, py, pz, &gj) ? g1_to_aff(gj)
+                                             : G1Aff{FP_ZERO, FP_ZERO, true};
+      G1Aff wa = g1_to_aff(want[b]);
       if (ga.inf != wa.inf ||
           (!ga.inf && (!fp_eq2(ga.x, wa.x) || !fp_eq2(ga.y, wa.y)))) {
         printf("FAIL bucket_accum bucket %d (inf %d vs %d)\n", b, ga.inf,
@@ -374,6 +390,64 @@ int main() {
       }
     }
     printf("ok: g1_msm_var_v8 vs scalar Pippenger\n");
+  }
+
+  // fixed-base vector MSM (shift table + plane copy) vs scalar Pippenger;
+  // n=20 hits the c=4 edge (bshift=0), n=600 a multi-lane reduce (c=9).
+  {
+    for (int n : {20, 600}) {
+      const int c = pippenger_window(n);
+      const int nwin = (256 + c - 1) / c + 1;
+      std::vector<G1Aff> pts(n);
+      std::vector<u8> scalars((size_t)32 * n);
+      G1Jac g = {G1_GEN_X_M, G1_GEN_Y_M, FP_ONE_M};
+      for (int i = 0; i < n; ++i) {
+        if (i % 19 == 7) {
+          pts[i] = {FP_ZERO, FP_ZERO, true};
+        } else {
+          u8 k[32];
+          for (int j = 0; j < 32; ++j) k[j] = (u8)rnd64();
+          k[0] = 0;  // < r
+          pts[i] = g1_to_aff(g1_mul_jac(g, k, 32));
+        }
+        for (int j = 0; j < 32; ++j) scalars[32 * i + j] = (u8)rnd64();
+        scalars[32 * i] = 0;  // < r
+        if (i % 11 == 2) memset(&scalars[32 * i], 0, 32);
+      }
+      std::vector<G1Aff> tbl((size_t)n * nwin);
+      for (int i = 0; i < n; ++i) {
+        if (pts[i].inf) {
+          for (int w = 0; w < nwin; ++w) tbl[(size_t)i * nwin + w] = pts[i];
+          continue;
+        }
+        G1Jac q = g1_from_aff(pts[i]);
+        for (int w = 0; w < nwin; ++w) {
+          tbl[(size_t)i * nwin + w] = g1_to_aff(q);
+          for (int d = 0; d < c; ++d) q = g1_dbl(q);
+        }
+      }
+      const size_t stride = (size_t)n * nwin;
+      std::vector<u64> tbl52(16 * stride, 0);
+      for (size_t i = 0; i < stride; ++i) {
+        if (tbl[i].inf) continue;
+        u64 x52[8], y52[8];
+        fp52_from_fp(tbl[i].x.v, x52);
+        fp52_from_fp(tbl[i].y.v, y52);
+        for (int l = 0; l < 8; ++l) {
+          tbl52[(size_t)l * stride + i] = x52[l];
+          tbl52[(size_t)(8 + l) * stride + i] = y52[l];
+        }
+      }
+      G1Aff a = g1_to_aff(g1_msm_pippenger(pts, scalars.data(), n));
+      G1Aff b = g1_to_aff(g1_msm_fixed(tbl, nwin, c, scalars.data(), n,
+                                       tbl52.data(), stride));
+      if (a.inf != b.inf ||
+          (!a.inf && (!fp_eq2(a.x, b.x) || !fp_eq2(a.y, b.y)))) {
+        printf("FAIL msm_fixed_v8 vs scalar n=%d\n", n);
+        return 1;
+      }
+    }
+    printf("ok: g1_msm_fixed v8 vs scalar Pippenger\n");
   }
 
   printf("ALL V8 UNIT TESTS PASS\n");
