@@ -26,10 +26,13 @@
 
 #include <atomic>
 #include <chrono>
+#include <condition_variable>
 #include <cstdint>
 #include <cstdio>
 #include <cstdlib>
 #include <cstring>
+#include <functional>
+#include <memory>
 #include <mutex>
 #include <thread>
 #include <vector>
@@ -1259,25 +1262,118 @@ static double now_ms() {
       .count();
 }
 
+// Persistent work pool.  Thread creation costs ~50-100us on this class of
+// host; the fused API ops issue a dozen parallel regions each, so spawning
+// per region dominated small-op latency (visible as multi-ms jitter in the
+// KZG_NATIVE_PROFILE phase timings).  One pool, workers parked on a condvar;
+// the caller participates.  Each run allocates a heap Job so a late-waking
+// worker can never touch a newer job's counters.
+static thread_local bool tl_in_pool = false;
+
+class WorkPool {
+ public:
+  static WorkPool &instance() {
+    static WorkPool pool;
+    return pool;
+  }
+
+  void run(int n, const std::function<void(int)> &fn) {
+    if (n <= 0) return;
+    if (n == 1 || workers_.empty() || tl_in_pool) {
+      // Serial fallback; nested parallel regions run inline on the worker.
+      const bool prev = tl_in_pool;
+      tl_in_pool = true;
+      for (int i = 0; i < n; ++i) fn(i);
+      tl_in_pool = prev;
+      return;
+    }
+    std::unique_lock<std::mutex> serial(job_mu_);  // one job at a time
+    auto job = std::make_shared<Job>();
+    job->fn = &fn;
+    job->n = n;
+    {
+      std::lock_guard<std::mutex> lk(mu_);
+      job_ = job;
+      ++gen_;
+    }
+    cv_.notify_all();
+    const bool prev = tl_in_pool;
+    tl_in_pool = true;
+    work(*job);
+    tl_in_pool = prev;
+    while (job->done.load(std::memory_order_acquire) < n)
+      std::this_thread::yield();
+    {
+      std::lock_guard<std::mutex> lk(mu_);
+      if (job_ == job) job_.reset();
+    }
+  }
+
+ private:
+  struct Job {
+    const std::function<void(int)> *fn = nullptr;
+    int n = 0;
+    std::atomic<int> next{0};
+    std::atomic<int> done{0};
+  };
+
+  WorkPool() {
+    const int nw = n_workers() - 1;  // caller participates as the last lane
+    for (int i = 0; i < nw; ++i)
+      workers_.emplace_back([this]() { worker(); });
+  }
+
+  ~WorkPool() {
+    {
+      std::lock_guard<std::mutex> lk(mu_);
+      stop_ = true;
+      ++gen_;
+    }
+    cv_.notify_all();
+    for (auto &t : workers_) t.join();
+  }
+
+  static void work(Job &job) {
+    for (;;) {
+      const int i = job.next.fetch_add(1, std::memory_order_relaxed);
+      if (i >= job.n) return;
+      (*job.fn)(i);
+      job.done.fetch_add(1, std::memory_order_release);
+    }
+  }
+
+  void worker() {
+    tl_in_pool = true;
+    u64 seen = 0;
+    std::unique_lock<std::mutex> lk(mu_);
+    for (;;) {
+      cv_.wait(lk, [&]() { return stop_ || gen_ != seen; });
+      if (stop_) return;
+      seen = gen_;
+      std::shared_ptr<Job> job = job_;
+      lk.unlock();
+      if (job) work(*job);
+      lk.lock();
+    }
+  }
+
+  std::mutex mu_;        // guards job_/gen_/stop_
+  std::mutex job_mu_;    // serializes concurrent external callers
+  std::condition_variable cv_;
+  std::vector<std::thread> workers_;
+  std::shared_ptr<Job> job_;
+  u64 gen_ = 0;
+  bool stop_ = false;
+};
+
 template <typename F>
 static void parallel_for(int n, F fn) {
-  int nw = n_workers();
-  if (n <= 1 || nw <= 1) {
+  if (n <= 1 || n_workers() <= 1) {
     for (int i = 0; i < n; ++i) fn(i);
     return;
   }
-  if (nw > n) nw = n;
-  std::vector<std::thread> threads;
-  std::atomic<int> next(0);
-  for (int w = 0; w < nw; ++w)
-    threads.emplace_back([&]() {
-      for (;;) {
-        int i = next.fetch_add(1);
-        if (i >= n) return;
-        fn(i);
-      }
-    });
-  for (auto &t : threads) t.join();
+  const std::function<void(int)> f = std::move(fn);
+  WorkPool::instance().run(n, f);
 }
 
 // ===========================================================================
@@ -1340,36 +1436,26 @@ static G1Jac g1_msm_pippenger(const std::vector<G1Aff> &pts,
   });
 
   std::vector<G1Jac> win_sums(nwin, g1_jac_inf());
-  std::atomic<int> next_win(0);
-  int nw = n_workers();
-  std::vector<std::thread> threads;
-  for (int t = 0; t < nw; ++t)
-    threads.emplace_back([&]() {
-      std::vector<G1Jac> buckets(nbuckets);
-      for (;;) {
-        int w = next_win.fetch_add(1);
-        if (w >= nwin) break;
-        for (int b = 0; b < nbuckets; ++b) buckets[b] = g1_jac_inf();
-        for (int i = 0; i < n; ++i) {
-          int32_t d = digits[(size_t)i * nwin + w];
-          if (d == 0 || pts[i].inf) continue;
-          if (d > 0) {
-            buckets[d - 1] = g1_add_mixed(buckets[d - 1], pts[i]);
-          } else {
-            G1Aff neg = {pts[i].x, fp_neg(pts[i].y), false};
-            buckets[-d - 1] = g1_add_mixed(buckets[-d - 1], neg);
-          }
-        }
-        // sum_k (k+1)*bucket_k via running suffix sums.
-        G1Jac acc = g1_jac_inf(), sum = g1_jac_inf();
-        for (int b = nbuckets - 1; b >= 0; --b) {
-          acc = g1_add_jac(acc, buckets[b]);
-          sum = g1_add_jac(sum, acc);
-        }
-        win_sums[w] = sum;
+  parallel_for(nwin, [&](int w) {
+    std::vector<G1Jac> buckets(nbuckets, g1_jac_inf());
+    for (int i = 0; i < n; ++i) {
+      int32_t d = digits[(size_t)i * nwin + w];
+      if (d == 0 || pts[i].inf) continue;
+      if (d > 0) {
+        buckets[d - 1] = g1_add_mixed(buckets[d - 1], pts[i]);
+      } else {
+        G1Aff neg = {pts[i].x, fp_neg(pts[i].y), false};
+        buckets[-d - 1] = g1_add_mixed(buckets[-d - 1], neg);
       }
-    });
-  for (auto &t : threads) t.join();
+    }
+    // sum_k (k+1)*bucket_k via running suffix sums.
+    G1Jac acc = g1_jac_inf(), sum = g1_jac_inf();
+    for (int b = nbuckets - 1; b >= 0; --b) {
+      acc = g1_add_jac(acc, buckets[b]);
+      sum = g1_add_jac(sum, acc);
+    }
+    win_sums[w] = sum;
+  });
 
   G1Jac total = g1_jac_inf();
   for (int w = nwin - 1; w >= 0; --w) {
@@ -1495,32 +1581,28 @@ int kzg_g1_lincomb(const u8 *pts_xy, const u8 *infs, const u8 *scalars,
   if (nw < 1) nw = 1;
   std::vector<G1Jac> partial(nw, g1_jac_inf());
   std::atomic<int> bad(0);
-  std::atomic<int> next(0);
-  std::vector<std::thread> threads;
-  for (int w = 0; w < nw; ++w)
-    threads.emplace_back([&, w]() {
-      G1Jac acc = g1_jac_inf();
-      for (;;) {
-        int i = next.fetch_add(1);
-        if (i >= n) break;
-        bool zero = true;
-        for (int j = 0; j < 32; ++j)
-          if (scalars[32 * i + j]) {
-            zero = false;
-            break;
-          }
-        if (infs[i] || zero) continue;
-        G1Aff p;
-        if (!g1aff_from_bytes(pts_xy + 96 * i, 0, p)) {
-          bad.store(1);
+  const int chunk = (n + nw - 1) / nw;
+  parallel_for(nw, [&](int w) {
+    G1Jac acc = g1_jac_inf();
+    const int lo = w * chunk, hi = (n < lo + chunk) ? n : lo + chunk;
+    for (int i = lo; i < hi; ++i) {
+      bool zero = true;
+      for (int j = 0; j < 32; ++j)
+        if (scalars[32 * i + j]) {
+          zero = false;
           break;
         }
-        acc = g1_add_jac(
-            acc, g1_mul_jac(g1_from_aff(p), scalars + 32 * i, 32));
+      if (infs[i] || zero) continue;
+      G1Aff p;
+      if (!g1aff_from_bytes(pts_xy + 96 * i, 0, p)) {
+        bad.store(1);
+        break;
       }
-      partial[w] = acc;
-    });
-  for (auto &t : threads) t.join();
+      acc = g1_add_jac(acc,
+                       g1_mul_jac(g1_from_aff(p), scalars + 32 * i, 32));
+    }
+    partial[w] = acc;
+  });
   if (bad.load()) return 1;
   G1Jac acc = g1_jac_inf();
   for (int w = 0; w < nw; ++w) acc = g1_add_jac(acc, partial[w]);
@@ -1543,10 +1625,10 @@ int kzg_pairings_verify(const u8 *a1, int a1_inf, const u8 *a2, int a2_inf,
   if (!pa.inf) pa.y = fp_neg(pa.y);  // negate a1
   // The two Miller loops are independent - run them concurrently.
   Fp12 f1 = FP12_ONE_C, f2 = FP12_ONE_C;
-  std::thread t1;
-  if (!pa.inf && !qa.inf) t1 = std::thread([&]() { f1 = miller_loop(pa, qa); });
-  if (!pb.inf && !qb.inf) f2 = miller_loop(pb, qb);
-  if (t1.joinable()) t1.join();
+  parallel_for(2, [&](int i) {
+    if (i == 0 && !pa.inf && !qa.inf) f1 = miller_loop(pa, qa);
+    if (i == 1 && !pb.inf && !qb.inf) f2 = miller_loop(pb, qb);
+  });
   return fp12_is_one(final_exponentiation(fp12_mul(f1, f2))) ? 1 : 0;
 }
 
@@ -2876,19 +2958,16 @@ static G1Jac g1_msm_var_v8(const std::vector<G1Aff> &pts, const u8 *scalars,
   if (nthr > nwin) nthr = nwin;
   const int wchunk = (nwin + nthr - 1) / nthr;
   std::vector<std::vector<std::pair<u32, G1Jac>>> ovf(nthr);
-  std::vector<std::thread> threads;
-  for (int t = 0; t < nthr; ++t)
-    threads.emplace_back([&, t]() {
-      const int w0 = t * wchunk;
-      const int w1 = (nwin < w0 + wchunk) ? nwin : w0 + wchunk;
-      if (w0 >= w1) return;
-      const size_t e0 = offs[(size_t)w0 * nbuckets];
-      const size_t e1 = offs[(size_t)w1 * nbuckets];
-      if (e1 > e0)
-        g1_bucket_accum_v8(tbl52.data(), stride, entries.data() + e0,
-                           e1 - e0, pb, bshift, rowlen, ovf[t]);
-    });
-  for (auto &th : threads) th.join();
+  parallel_for(nthr, [&](int t) {
+    const int w0 = t * wchunk;
+    const int w1 = (nwin < w0 + wchunk) ? nwin : w0 + wchunk;
+    if (w0 >= w1) return;
+    const size_t e0 = offs[(size_t)w0 * nbuckets];
+    const size_t e1 = offs[(size_t)w1 * nbuckets];
+    if (e1 > e0)
+      g1_bucket_accum_v8(tbl52.data(), stride, entries.data() + e0, e1 - e0,
+                         pb, bshift, rowlen, ovf[t]);
+  });
   for (auto &v : ovf)
     for (auto &pr : v) pb_merge_jac(pb, pr.first, pr.second);
   const double t_accum = prof ? now_ms() : 0.0;
@@ -2997,10 +3076,8 @@ int kzg_bary_eval_batch(void *ctx_p, const u8 *blobs, u32 nb, const u8 *xs,
   std::atomic<u32> next(0);
   int nw = n_workers();
   if ((u32)nw > nb) nw = (int)nb;
-  std::vector<std::thread> threads;
-  for (int t = 0; t < nw; ++t)
-    threads.emplace_back([&]() {
-      // Per-thread scratch, reused across blobs (3 * 128 KB mainnet).
+  parallel_for(nw, [&](int) {
+      // Per-lane scratch, reused across blobs (3 * 128 KB mainnet).
       std::vector<Fr> elems(n), diffs(n), prefix(n);
 #ifdef KZG_HAVE_IFMA
       std::vector<u64> eplanes[5];
@@ -3087,8 +3164,7 @@ int kzg_bary_eval_batch(void *ctx_p, const u8 *blobs, u32 nb, const u8 *xs,
         Fr y = fr_mul(sum, f);
         to_be<4>(y.v, 32, ys_out + 32 * bi);
       }
-    });
-  for (auto &t : threads) t.join();
+  });
   return err.load();
 }
 
@@ -3200,9 +3276,7 @@ int kzg_verify_blob_batch_ptrs(void *ctx_p, const u8 *const *blob_ptrs,
   std::atomic<u32> next(0);
   int nw = n_workers();
   if ((u32)nw > nb) nw = (int)nb;
-  std::vector<std::thread> threads;
-  for (int t = 0; t < nw; ++t)
-    threads.emplace_back([&]() {
+  parallel_for(nw, [&](int) {
       std::vector<Fr> elems(n), diffs(n), prefix(n);
 #ifdef KZG_HAVE_IFMA
       std::vector<u64> eplanes[5];
@@ -3317,8 +3391,7 @@ int kzg_verify_blob_batch_ptrs(void *ctx_p, const u8 *const *blob_ptrs,
         Fr f = fr_mul(ctx->inv_n, fr_sub(xn, FR_ONE_M));
         ys[bi] = fr_mul(sum, f);  // standard domain
       }
-    });
-  for (auto &t : threads) t.join();
+  });
   if (err.load()) return err.load();
   double t_perblob = prof ? now_ms() : 0.0;
 
@@ -3389,10 +3462,10 @@ int kzg_verify_blob_batch_ptrs(void *ctx_p, const u8 *const *blob_ptrs,
   // e(lhs, [s]G2) == e(rhs, G2gen)  (pairings_verify, utils.rs:189-214).
   if (!lhs_a.inf) lhs_a.y = fp_neg(lhs_a.y);
   Fp12 f1 = FP12_ONE_C, f2 = FP12_ONE_C;
-  std::thread t1;
-  if (!lhs_a.inf) t1 = std::thread([&]() { f1 = miller_loop(lhs_a, ctx->g2_s); });
-  if (!rhs_a.inf) f2 = miller_loop(rhs_a, ctx->g2_gen);
-  if (t1.joinable()) t1.join();
+  parallel_for(2, [&](int i) {
+    if (i == 0 && !lhs_a.inf) f1 = miller_loop(lhs_a, ctx->g2_s);
+    if (i == 1 && !rhs_a.inf) f2 = miller_loop(rhs_a, ctx->g2_gen);
+  });
   *out_ok = fp12_is_one(final_exponentiation(fp12_mul(f1, f2))) ? 1 : 0;
   if (prof) {
     double t_pair = now_ms();
@@ -3643,30 +3716,27 @@ static G1Jac g1_msm_fixed(const std::vector<G1Aff> &tbl, int nwin, int c,
   int nw = n_workers();
   if (nw > n) nw = n > 0 ? n : 1;
   std::vector<std::vector<G1Jac>> tb(nw);
-  std::vector<std::thread> threads;
   const int chunk = (n + nw - 1) / nw;
-  for (int t = 0; t < nw; ++t)
-    threads.emplace_back([&, t]() {
-      auto &buckets = tb[t];
-      buckets.assign(nbuckets, g1_jac_inf());
-      const int lo = t * chunk;
-      const int hi = (n < lo + chunk) ? n : lo + chunk;
-      for (int i = lo; i < hi; ++i) {
-        const G1Aff *row = &tbl[(size_t)i * nwin];
-        const int32_t *dg = &digits[(size_t)i * nwin];
-        for (int w = 0; w < nwin; ++w) {
-          int32_t d = dg[w];
-          if (d == 0 || row[w].inf) continue;
-          if (d > 0) {
-            buckets[d - 1] = g1_add_mixed(buckets[d - 1], row[w]);
-          } else {
-            G1Aff neg = {row[w].x, fp_neg(row[w].y), false};
-            buckets[-d - 1] = g1_add_mixed(buckets[-d - 1], neg);
-          }
+  parallel_for(nw, [&](int t) {
+    auto &buckets = tb[t];
+    buckets.assign(nbuckets, g1_jac_inf());
+    const int lo = t * chunk;
+    const int hi = (n < lo + chunk) ? n : lo + chunk;
+    for (int i = lo; i < hi; ++i) {
+      const G1Aff *row = &tbl[(size_t)i * nwin];
+      const int32_t *dg = &digits[(size_t)i * nwin];
+      for (int w = 0; w < nwin; ++w) {
+        int32_t d = dg[w];
+        if (d == 0 || row[w].inf) continue;
+        if (d > 0) {
+          buckets[d - 1] = g1_add_mixed(buckets[d - 1], row[w]);
+        } else {
+          G1Aff neg = {row[w].x, fp_neg(row[w].y), false};
+          buckets[-d - 1] = g1_add_mixed(buckets[-d - 1], neg);
         }
       }
-    });
-  for (auto &th : threads) th.join();
+    }
+  });
   std::vector<G1Jac> &buckets = tb[0];
   parallel_for(nbuckets, [&](int b) {
     for (int t = 1; t < nw; ++t) buckets[b] = g1_add_jac(buckets[b], tb[t][b]);
@@ -4029,11 +4099,10 @@ static int verify_pair_eq(VerifyCtx *ctx, const G1Aff &C, const Fr &z_std,
   G1Aff a1 = p_minus_y;
   if (!a1.inf) a1.y = fp_neg(a1.y);
   Fp12 f1 = FP12_ONE_C, f2 = FP12_ONE_C;
-  std::thread t1;
-  if (!a1.inf && !ctx->g2_gen.inf)
-    t1 = std::thread([&]() { f1 = miller_loop(a1, ctx->g2_gen); });
-  if (!P.inf && !x_minus_z.inf) f2 = miller_loop(P, x_minus_z);
-  if (t1.joinable()) t1.join();
+  parallel_for(2, [&](int i) {
+    if (i == 0 && !a1.inf && !ctx->g2_gen.inf) f1 = miller_loop(a1, ctx->g2_gen);
+    if (i == 1 && !P.inf && !x_minus_z.inf) f2 = miller_loop(P, x_minus_z);
+  });
   *out_ok = fp12_is_one(final_exponentiation(fp12_mul(f1, f2))) ? 1 : 0;
   return 0;
 }

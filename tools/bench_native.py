@@ -71,20 +71,36 @@ def main() -> None:
     bench("prover.prove", lambda: prover.prove(blob, z))
     bench("prover.blob_proof", lambda: prover.blob_proof(blob, comm48))
 
-    # Host-mode batch verification at the public API (golden backend
-    # dispatches to the fused native verifier).
+    # Fused native batch verification (what the jax backend's host mode
+    # dispatches to, kzg_rust_tpu/backends/jax_backend.py).
+    from kzg_rust_tpu.golden import curve as gcurve
+    from kzg_rust_tpu.presets import RANDOM_CHALLENGE_KZG_BATCH_DOMAIN
+
+    vctx = kn.VerifyCtx(
+        settings.roots_of_unity,
+        settings.g2_values[1],
+        gcurve.G2_GENERATOR,
+        FIAT_SHAMIR_PROTOCOL_DOMAIN,
+        RANDOM_CHALLENGE_KZG_BATCH_DOMAIN,
+    )
     for nb in [int(x) for x in args.batch.split(",") if x]:
         blobs, comms, proofs = [], [], []
         for _ in range(nb):
             b = rblob()
-            c = Kzg.blob_to_kzg_commitment(Blob(b), settings)
-            p = Kzg.compute_blob_kzg_proof(Blob(b), c, settings)
-            blobs.append(Blob(b))
-            comms.append(c)
-            proofs.append(p)
+            cpt = prover.commit(b)
+            c48 = kn.g1_compress(cpt)
+            ppt = prover.blob_proof(b, c48)
+            blobs.append(b)
+            comms.append(c48)
+            proofs.append(kn.g1_compress(ppt))
+        cat_blobs = b"".join(blobs)
+        cat_comms = b"".join(comms)
+        cat_proofs = b"".join(proofs)
+        ok = vctx.verify(cat_blobs, nb, cat_comms, cat_proofs)
+        assert ok is True, "fused batch verify rejected valid batch"
         bench(
-            f"verify_blob_kzg_proof_batch n={nb}",
-            lambda: Kzg.verify_blob_kzg_proof_batch(blobs, comms, proofs, settings),
+            f"native verify_blob_batch n={nb}",
+            lambda: vctx.verify(cat_blobs, nb, cat_comms, cat_proofs),
             repeats=max(3, args.repeats // 2),
         )
 
