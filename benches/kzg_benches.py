@@ -8,6 +8,9 @@ benches:14-23) against the real mainnet setup.
 
 Usage:  python benches/kzg_benches.py [--backend jax|golden] [--repeats N]
 Prints one human line per bench plus a final JSON array on stdout.
+``--verbose`` enables the library's structured DEBUG logging (setup-load
+phase timings); setting ``KZG_TPU_TRACE_DIR=<dir>`` additionally captures a
+JAX profiler trace of the whole run for TensorBoard.
 """
 
 from __future__ import annotations
@@ -28,8 +31,16 @@ def main() -> None:
     ap.add_argument("--backend", default=os.environ.get("KZG_TPU_BACKEND", "jax"))
     ap.add_argument("--repeats", type=int, default=5)
     ap.add_argument("--batch-sizes", default="1,2,4,8,16,32,64")
+    ap.add_argument("--verbose", action="store_true")
     args = ap.parse_args()
     os.environ["KZG_TPU_BACKEND"] = args.backend
+    if args.verbose:
+        import logging
+
+        logging.basicConfig(
+            level=logging.DEBUG, format="%(asctime)s %(name)s %(message)s"
+        )
+        logging.getLogger("jax").setLevel(logging.INFO)
 
     if args.backend == "jax":
         import jax
@@ -115,4 +126,7 @@ def main() -> None:
 
 
 if __name__ == "__main__":
-    main()
+    from kzg_rust_tpu.utils.observability import device_trace
+
+    with device_trace():  # XLA profile when KZG_TPU_TRACE_DIR is set
+        main()

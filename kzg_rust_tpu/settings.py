@@ -16,6 +16,7 @@ from .errors import BadArgs, InvalidTrustedSetup
 from .presets import BYTES_PER_G1, BYTES_PER_G2, TRUSTED_SETUP_NUM_G2_POINTS, MAINNET, Preset
 from .types import hex_to_bytes
 from .utils.domain import bit_reversal_permutation, compute_roots_of_unity
+from .utils.observability import logger, timed
 
 
 @dataclass
@@ -167,6 +168,9 @@ def load_trusted_setup(
         cached = _points_from_cache(cache_path)
         if cached is not None:
             g1_cached, g2_cached = cached
+            logger.debug(
+                "load_trusted_setup cache=hit n1=%d n2=%d path=%s", n1, n2, cache_path
+            )
             return KzgSettings(
                 preset=preset,
                 max_width=max_width,
@@ -175,22 +179,25 @@ def load_trusted_setup(
                 g2_values=g2_cached,
             )
 
-    try:
-        g1_values = hostcrypto.g1_uncompress_batch(
-            [g1_bytes[BYTES_PER_G1 * i : BYTES_PER_G1 * (i + 1)] for i in range(n1)]
-        )
-    except BadArgs:
-        raise BadArgs("load_trusted_setup Invalid g1 bytes") from None
-    g2_values = []
-    for i in range(n2):
+    with timed("load_trusted_setup.uncompress_g1", n=n1):
         try:
-            g2_values.append(
-                hostcrypto.g2_uncompress(g2_bytes[BYTES_PER_G2 * i : BYTES_PER_G2 * (i + 1)])
+            g1_values = hostcrypto.g1_uncompress_batch(
+                [g1_bytes[BYTES_PER_G1 * i : BYTES_PER_G1 * (i + 1)] for i in range(n1)]
             )
         except BadArgs:
-            raise BadArgs("load_trusted_setup invalid g2 bytes") from None
+            raise BadArgs("load_trusted_setup Invalid g1 bytes") from None
+    g2_values = []
+    with timed("load_trusted_setup.uncompress_g2", n=n2):
+        for i in range(n2):
+            try:
+                g2_values.append(
+                    hostcrypto.g2_uncompress(g2_bytes[BYTES_PER_G2 * i : BYTES_PER_G2 * (i + 1)])
+                )
+            except BadArgs:
+                raise BadArgs("load_trusted_setup invalid g2 bytes") from None
 
-    is_trusted_setup_in_lagrange_form(g1_values, g2_values)
+    with timed("load_trusted_setup.lagrange_form_check"):
+        is_trusted_setup_in_lagrange_form(g1_values, g2_values)
 
     if cache_path is not None:
         _points_to_cache(cache_path, g1_values, g2_values)
