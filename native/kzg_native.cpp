@@ -400,7 +400,65 @@ static void pow_mont(const FieldCtx<N> &C, const u64 *base, const u8 *exp,
 
 template <int N>
 static void inv_mont(const FieldCtx<N> &C, const u64 *a, u64 *out) {
-  pow_mont<N>(C, a, C.exp_inv, N * 8, out);
+  // Binary extended gcd (HAC 14.61 specialized to prime modulus), ~10x
+  // cheaper than the Fermat ladder at these sizes.  Variable-time, which
+  // matches the reference's backend (blst_fr_eucl_inverse is also
+  // variable-time Euclid).  Input/output Montgomery form: for x = A*R,
+  // xgcd yields A^{-1}*R^{-1}; two extra Montgomery muls by R^2 restore
+  // A^{-1}*R.  inv(0) = 0, matching the Fermat ladder's behavior.
+  if (is_zero_n<N>(a)) {
+    for (int i = 0; i < N; ++i) out[i] = 0;
+    return;
+  }
+  u64 u[N], v[N], x1[N], x2[N];
+  for (int i = 0; i < N; ++i) {
+    u[i] = a[i];
+    v[i] = C.mod[i];
+    x1[i] = 0;
+    x2[i] = 0;
+  }
+  x1[0] = 1;
+  const auto shr1 = [](u64 *t, u64 hi) {
+    for (int i = 0; i < N - 1; ++i) t[i] = (t[i] >> 1) | (t[i + 1] << 63);
+    t[N - 1] = (t[N - 1] >> 1) | (hi << 63);
+  };
+  const auto halve_mod = [&](u64 *t) {
+    // t/2 mod m: if odd, (t + m) first (fits: m < 2^(64N-2)).
+    u64 carry = 0;
+    if (t[0] & 1) carry = add_n<N>(t, C.mod, t);
+    shr1(t, carry);
+  };
+  const auto is_one = [](const u64 *t) {
+    if (t[0] != 1) return false;
+    for (int i = 1; i < N; ++i)
+      if (t[i]) return false;
+    return true;
+  };
+  while (!is_one(u) && !is_one(v)) {
+    while (!(u[0] & 1)) {
+      shr1(u, 0);
+      halve_mod(x1);
+    }
+    while (!(v[0] & 1)) {
+      shr1(v, 0);
+      halve_mod(x2);
+    }
+    if (cmp_n<N>(u, v) >= 0) {
+      sub_n<N>(u, v, u);
+      if (sub_n<N>(x1, x2, x1)) add_n<N>(x1, C.mod, x1);
+    } else {
+      sub_n<N>(v, u, v);
+      if (sub_n<N>(x2, x1, x2)) add_n<N>(x2, C.mod, x2);
+    }
+  }
+  u64 r[N];
+  if (is_one(u)) {
+    for (int i = 0; i < N; ++i) r[i] = x1[i];
+  } else {
+    for (int i = 0; i < N; ++i) r[i] = x2[i];
+  }
+  mont_mul<N>(C, r, C.rr, r);    // A^{-1} R^{-1} -> A^{-1}
+  mont_mul<N>(C, r, C.rr, out);  // -> A^{-1} R
 }
 
 static int hex_val(char c) {
@@ -2598,6 +2656,389 @@ static V8 v8_pow(const V8 &base, const u8 *exp_be, int nbytes) {
   return r;
 }
 
+// ---------------------------------------------------------------------------
+// Batched-affine bucket accumulation (addition tree).
+//
+// Replaces the lock-step projective walk (g1_bucket_accum_v8, 12 Montgomery
+// muls per entry) for dense entry lists: within each bucket the k points are
+// summed by a pairwise tree (k-1 affine+affine->affine additions across
+// ceil(log2 k) rounds).  All pairs of one round are independent, so the
+// per-add field inversion is amortized with one Montgomery batch inversion
+// per (thread, round): 6 muls per add (1 prefix + 2 back-substitution +
+// lambda, lambda^2, y3) instead of 12, all on the 8-lane IFMA engine.
+//
+// Exceptional pairs (x1 == x2 mod p: a doubling or an inverse pair - never
+// hit with distinct fixed-base table points, but reachable with repeated
+// input points) are detected by a canonical zero test on x2-x1; the first
+// operand passes through the tree and the second is deferred to the
+// caller's scalar Jacobian overflow list (pb_merge_jac handles doubling /
+// infinity via the complete g1_add_jac).  Infinity never enters: the entry
+// builders skip table slots flagged infinite.
+
+// Lane select: b where mask bit set, else a.
+static inline V8 v8_blendm(__mmask8 m, const V8 &a, const V8 &b) {
+  V8 r;
+  for (int i = 0; i < 8; ++i) r.l[i] = _mm512_mask_blend_epi64(m, a.l[i], b.l[i]);
+  return r;
+}
+
+static inline void v8_store_seq(u64 *dst, const V8 &v) {
+  for (int i = 0; i < 8; ++i)
+    _mm512_storeu_si512((void *)(dst + 8 * i), v.l[i]);
+}
+
+static inline V8 v8_load_seq(const u64 *src) {
+  V8 r;
+  for (int i = 0; i < 8; ++i)
+    r.l[i] = _mm512_loadu_si512((const void *)(src + 8 * i));
+  return r;
+}
+
+// Gather 8 field elements from a plane array (plane l at base + l*stride),
+// 32-bit indices.
+static inline V8 v8_gather_planes(const u64 *base, size_t stride,
+                                  __m256i idx) {
+  V8 r;
+  for (int i = 0; i < 8; ++i)
+    r.l[i] = _mm512_i32gather_epi64(idx, (const void *)(base + i * stride), 8);
+  return r;
+}
+
+static inline void v8_scatter_planes(u64 *base, size_t stride, __m256i idx,
+                                     const V8 &v, __mmask8 m) {
+  for (int i = 0; i < 8; ++i)
+    _mm512_mask_i32scatter_epi64((void *)(base + i * stride), m, idx, v.l[i],
+                                 8);
+}
+
+// Lanes whose value is congruent to 0 mod p.  Input < 4p.
+static inline __mmask8 v8_iszero_modp(const V8 &a) {
+  const __m512i LOW52 = _mm512_set1_epi64(0xfffffffffffffULL);
+  V8 r = v8_red2p(a);  // < 2p
+  V8 d;                // r - p if r >= p
+  __m512i borrow = _mm512_setzero_si512();
+  for (int i = 0; i < 8; ++i) {
+    __m512i v = _mm512_sub_epi64(
+        _mm512_sub_epi64(r.l[i], _mm512_set1_epi64(FP52_MOD[i])), borrow);
+    d.l[i] = _mm512_and_si512(v, LOW52);
+    borrow = _mm512_srli_epi64(v, 63);
+  }
+  const __mmask8 use_d =
+      _mm512_cmpeq_epi64_mask(borrow, _mm512_setzero_si512());
+  __m512i acc = _mm512_setzero_si512();
+  for (int i = 0; i < 8; ++i)
+    acc = _mm512_or_si512(acc, _mm512_mask_blend_epi64(use_d, r.l[i], d.l[i]));
+  return _mm512_cmpeq_epi64_mask(acc, _mm512_setzero_si512());
+}
+
+// p - y (canonical y < p) on one 52-limb scalar value.
+static inline void fp52_neg_scalar(const u64 *y, u64 *out) {
+  u64 borrow = 0;
+  for (int i = 0; i < 8; ++i) {
+    u64 need = y[i] + borrow;
+    borrow = FP52_MOD[i] < need;
+    out[i] = (FP52_MOD[i] - need) & 0xfffffffffffffULL;
+  }
+}
+
+// Batch inversion of the 8 (nonzero) lane totals of a prefix-product chain.
+// t/w are [lane][limb], Montgomery' domain.
+static void fp52_batch_inv8(const u64 t[8][8], u64 w[8][8]) {
+  u64 s[8][8];
+  memcpy(s[0], t[0], sizeof(s[0]));
+  for (int l = 1; l < 8; ++l) fp52_mm_scalar(s[l - 1], t[l], s[l]);
+  Fp f;
+  fp52_to_fp(s[7], f.v);
+  f = fp_inv(f);
+  u64 run[8];
+  fp52_from_fp(f.v, run);
+  for (int l = 7; l >= 1; --l) {
+    fp52_mm_scalar(run, s[l - 1], w[l]);
+    fp52_mm_scalar(run, t[l], run);  // out==a aliasing is safe (a read first)
+  }
+  memcpy(w[0], run, sizeof(run));
+}
+
+// Profile counters (ns, summed across threads; reported by the MSM drivers
+// when KZG_NATIVE_PROFILE is set).
+static std::atomic<long long> aff_ns_fwd{0}, aff_ns_bwd{0}, aff_ns_inv{0},
+    aff_ns_scan{0};
+
+static void g1_bucket_accum_aff_v8(const u64 *tbl52, size_t stride,
+                                   const u64 *entries, size_t ne,
+                                   PlaneBuckets &pb, int bshift, u32 rowlen,
+                                   std::vector<std::pair<u32, G1Jac>> &ovf) {
+  if (!ne) return;
+  const bool prof = profile_enabled();
+  const double t_enter = prof ? now_ms() : 0.0;
+  const u32 bmask = (1u << bshift) - 1;
+  const auto slot_of = [&](u32 b) -> u32 {
+    return (b & bmask) * rowlen + (b >> bshift);
+  };
+  const V8 ONE = v8_bcast(FP52_ONE_M);
+
+  // Pair lists for the current round.  All scratch is thread_local and
+  // reused across calls: the buffers reach multiple MB and fresh
+  // allocations cost more in page faults than the math they feed.
+  struct Scratch {
+    std::vector<u32> ia, ib, oa, pbk;  // pair inputs, output index, bucket
+    std::vector<u32> ci, co;           // carry src -> dst
+    std::vector<u8> nam, nbm;          // per-group round-0 negation masks
+    std::vector<u8> excv;              // per-group exception masks (fwd->bwd)
+    std::vector<u64> ppbuf;            // per-group prefix products (64 u64)
+    std::vector<u32> bid, bid2;        // per-element bucket ids
+    std::vector<u8> cneg;
+    std::vector<u64> bufA, bufB, dbuf, xbuf, sbuf;
+  };
+  static thread_local Scratch S;
+  auto &ia = S.ia, &ib = S.ib, &oa = S.oa, &pbk = S.pbk, &ci = S.ci,
+       &co = S.co, &bid = S.bid, &bid2 = S.bid2;
+  auto &nam = S.nam, &nbm = S.nbm, &excv = S.excv, &cneg = S.cneg;
+  auto &ppbuf = S.ppbuf;
+  ia.clear();
+  ib.clear();
+  oa.clear();
+  pbk.clear();
+  ci.clear();
+  co.clear();
+  nam.clear();
+  nbm.clear();
+  cneg.clear();
+  bid.clear();
+  ia.reserve(ne / 2 + 1);
+  ib.reserve(ne / 2 + 1);
+  oa.reserve(ne / 2 + 1);
+  pbk.reserve(ne / 2 + 1);
+
+  // Round-0 scan over the bucket-major entry list.
+  bid.reserve(ne);
+  for (size_t i = 0; i < ne;) {
+    const u32 b = (u32)(entries[i] >> 33);
+    if (i + 1 < ne && (u32)(entries[i + 1] >> 33) == b) {
+      const size_t k = ia.size();
+      if ((k & 7) == 0) {
+        nam.push_back(0);
+        nbm.push_back(0);
+      }
+      if (entries[i] & (1ULL << 32)) nam.back() |= (u8)(1u << (k & 7));
+      if (entries[i + 1] & (1ULL << 32)) nbm.back() |= (u8)(1u << (k & 7));
+      ia.push_back((u32)(entries[i] & 0xffffffffULL));
+      ib.push_back((u32)(entries[i + 1] & 0xffffffffULL));
+      oa.push_back((u32)bid.size());
+      pbk.push_back(b);
+      bid.push_back(b);
+      i += 2;
+    } else {
+      ci.push_back((u32)(entries[i] & 0xffffffffULL));
+      cneg.push_back((u8)((entries[i] >> 32) & 1));
+      co.push_back((u32)bid.size());
+      bid.push_back(b);
+      i += 1;
+    }
+  }
+
+  if (ia.empty()) {
+    // Every bucket has one entry: write table points straight to the slots.
+    for (size_t k = 0; k < ci.size(); ++k) {
+      const u32 s = slot_of(bid[k]);
+      const u32 src = ci[k];
+      u64 y[8];
+      for (int l = 0; l < 8; ++l) {
+        pb.plane(0, l)[s] = tbl52[(size_t)l * stride + src];
+        y[l] = tbl52[(size_t)(8 + l) * stride + src];
+      }
+      if (cneg[k]) fp52_neg_scalar(y, y);
+      for (int l = 0; l < 8; ++l) {
+        pb.plane(1, l)[s] = y[l];
+        pb.plane(2, l)[s] = FP52_ONE_M[l];
+      }
+      pb.occ[s] = 1;
+    }
+    return;
+  }
+
+  const size_t cap = bid.size();  // round-0 output count; rounds only shrink
+  if (S.bufA.size() < 16 * cap) {
+    S.bufA.resize(16 * cap);
+    S.bufB.resize(16 * cap);
+  }
+  u64 *cur = S.bufA.data(), *nxt = S.bufB.data();
+
+  // One tree round: pair inputs come from `src` planes (stride sstride);
+  // round 0 reads the table and applies per-entry negation; outputs go to
+  // `dst` planes (stride cap).
+  const auto run_round = [&](const u64 *src, size_t sstride, bool round0,
+                             u64 *dst) {
+    const size_t npairs = ia.size();
+    const size_t G = (npairs + 7) / 8;
+    ppbuf.resize(G * 64);
+    if (S.dbuf.size() < G * 64) {
+      S.dbuf.resize(G * 64);
+      S.xbuf.resize(G * 64);
+      S.sbuf.resize(G * 64);
+    }
+    excv.assign(G, 0);
+    const u64 *ybase = src + 8 * sstride;
+    const auto act_of = [&](size_t g) -> __mmask8 {
+      const size_t left = npairs - 8 * g;
+      return left >= 8 ? (__mmask8)0xff : (__mmask8)((1u << left) - 1);
+    };
+
+    // Forward: d = x2 - x1 per pair, exception masks, prefix products.
+    const double tf0 = prof ? now_ms() : 0.0;
+    V8 PP = ONE;
+    for (size_t g = 0; g < G; ++g) {
+      alignas(32) u32 ja[8], jb[8];
+      for (int l = 0; l < 8; ++l) {
+        const size_t k = 8 * g + l;
+        ja[l] = k < npairs ? ia[k] : ia[0];
+        jb[l] = k < npairs ? ib[k] : ib[0];
+      }
+      const __mmask8 act = act_of(g);
+      const __m256i va = _mm256_load_si256((const __m256i *)ja);
+      const __m256i vb = _mm256_load_si256((const __m256i *)jb);
+      const V8 x1 = v8_gather_planes(src, sstride, va);
+      const V8 x2 = v8_gather_planes(src, sstride, vb);
+      const V8 d4 = v8_sub2p(x2, x1);
+      const __mmask8 exc = v8_iszero_modp(d4) & act;
+      const __mmask8 dead = exc | (__mmask8)~act;
+      const V8 d = v8_blendm(dead, d4, ONE);
+      v8_store_seq(&S.dbuf[g * 64], d);
+      v8_store_seq(&S.xbuf[g * 64], x1);
+      v8_store_seq(&S.sbuf[g * 64], v8_add(x1, x2));  // x1+x2 < 2p
+      v8_store_seq(&ppbuf[g * 64], PP);
+      PP = v8_mm(PP, d);
+      excv[g] = exc;
+    }
+
+    const double tf1 = prof ? now_ms() : 0.0;
+    u64 tl[8][8], wl[8][8];
+    v8_extract(PP, tl);
+    fp52_batch_inv8(tl, wl);
+    V8 W = v8_pack(wl);
+
+    // Inverse chain (descending): turn each stored prefix product into the
+    // group's per-pair inverse, in place.  Few live vectors, so the d-load
+    // and the two muls pipeline across iterations.
+    for (size_t g = G; g-- > 0;) {
+      const V8 inv = v8_mm(W, v8_load_seq(&ppbuf[g * 64]));
+      W = v8_mm(W, v8_load_seq(&S.dbuf[g * 64]));
+      v8_store_seq(&ppbuf[g * 64], inv);
+    }
+    const double tf2 = prof ? now_ms() : 0.0;
+
+    // Geometry: lambda = dy * inv, x3, y3, scatter-store outputs.
+    for (size_t g = 0; g < G; ++g) {
+      alignas(32) u32 ja[8], jb[8], jo[8];
+      for (int l = 0; l < 8; ++l) {
+        const size_t k = 8 * g + l;
+        ja[l] = k < npairs ? ia[k] : ia[0];
+        jb[l] = k < npairs ? ib[k] : ib[0];
+        jo[l] = k < npairs ? oa[k] : 0;
+      }
+      const __mmask8 act = act_of(g);
+      const __m256i va = _mm256_load_si256((const __m256i *)ja);
+      const __m256i vb = _mm256_load_si256((const __m256i *)jb);
+      const __m256i vo = _mm256_load_si256((const __m256i *)jo);
+      const V8 x1 = v8_load_seq(&S.xbuf[g * 64]);
+      const V8 sx = v8_load_seq(&S.sbuf[g * 64]);  // x1 + x2
+      V8 y1 = v8_gather_planes(ybase, sstride, va);
+      V8 y2 = v8_gather_planes(ybase, sstride, vb);
+      if (round0) {
+        const __mmask8 na = (__mmask8)nam[g], nb = (__mmask8)nbm[g];
+        if (na) y1 = v8_blendm(na, y1, v8_negp(y1));
+        if (nb) y2 = v8_blendm(nb, y2, v8_negp(y2));
+      }
+      const __mmask8 exc = excv[g];
+      const V8 lam = v8_mm(v8_sub2p(y2, y1), v8_load_seq(&ppbuf[g * 64]));
+      const V8 lam2 = v8_mm(lam, lam);
+      V8 x3 = v8_red2p(v8_sub2p(lam2, sx));
+      V8 y3 = v8_red2p(v8_sub2p(v8_mm(lam, v8_sub2p(x1, x3)), y1));
+      if (exc) {
+        x3 = v8_blendm(exc, x3, x1);  // pass P1 through the tree
+        y3 = v8_blendm(exc, y3, y1);
+        u64 ex[8][8], ey[8][8];
+        v8_extract(v8_sub2p(sx, x1), ex);  // x2 = (x1+x2) - x1
+        v8_extract(y2, ey);
+        for (int l = 0; l < 8; ++l) {
+          if (!(exc & (1u << l))) continue;
+          Fp fx, fy;
+          fp52_to_fp(ex[l], fx.v);
+          fp52_to_fp(ey[l], fy.v);
+          ovf.emplace_back(slot_of(pbk[8 * g + l]), G1Jac{fx, fy, FP_ONE_M});
+        }
+      }
+      v8_scatter_planes(dst, cap, vo, x3, act);
+      v8_scatter_planes(dst + 8 * cap, cap, vo, y3, act);
+    }
+    if (prof) {
+      const double tf3 = now_ms();
+      aff_ns_fwd.fetch_add((long long)((tf1 - tf0) * 1e6));
+      aff_ns_inv.fetch_add((long long)((tf2 - tf1) * 1e6));
+      aff_ns_bwd.fetch_add((long long)((tf3 - tf2) * 1e6));
+    }
+
+    // Carries: copy (with round-0 negation) to their output slots.
+    for (size_t k = 0; k < ci.size(); ++k) {
+      const u32 s = ci[k], o = co[k];
+      u64 y[8];
+      for (int l = 0; l < 8; ++l) {
+        dst[(size_t)l * cap + o] = src[(size_t)l * sstride + s];
+        y[l] = ybase[(size_t)l * sstride + s];
+      }
+      if (round0 && cneg[k]) fp52_neg_scalar(y, y);
+      for (int l = 0; l < 8; ++l) dst[(size_t)(8 + l) * cap + o] = y[l];
+    }
+  };
+
+  run_round(tbl52, stride, true, cur);
+  size_t m = cap;
+
+  for (;;) {
+    // Re-pair adjacent same-bucket elements.
+    ia.clear();
+    ib.clear();
+    oa.clear();
+    pbk.clear();
+    ci.clear();
+    co.clear();
+    bid2.clear();
+    for (size_t i = 0; i < m;) {
+      const u32 b = bid[i];
+      if (i + 1 < m && bid[i + 1] == b) {
+        ia.push_back((u32)i);
+        ib.push_back((u32)(i + 1));
+        oa.push_back((u32)bid2.size());
+        pbk.push_back(b);
+        bid2.push_back(b);
+        i += 2;
+      } else {
+        ci.push_back((u32)i);
+        co.push_back((u32)bid2.size());
+        bid2.push_back(b);
+        i += 1;
+      }
+    }
+    if (ia.empty()) break;
+    run_round(cur, cap, false, nxt);
+    std::swap(cur, nxt);
+    bid.swap(bid2);
+    m = bid.size();
+  }
+
+  // Flush: each bucket holds exactly one affine point now.
+  for (size_t k = 0; k < m; ++k) {
+    const u32 s = slot_of(bid[k]);
+    for (int l = 0; l < 8; ++l) {
+      pb.plane(0, l)[s] = cur[(size_t)l * cap + k];
+      pb.plane(1, l)[s] = cur[(size_t)(8 + l) * cap + k];
+      pb.plane(2, l)[s] = FP52_ONE_M[l];
+    }
+    pb.occ[s] = 1;
+  }
+  if (prof) aff_ns_scan.fetch_add((long long)((now_ms() - t_enter) * 1e6));
+}
+
 // 8-wide ZCash-format 48-byte uncompress (same semantics as
 // g1_uncompress_impl): the sqrt exponentiation — ~99% of the scalar cost —
 // runs once for all eight points.  rc[l]: 0 ok, 1 malformed.
@@ -3636,8 +4077,8 @@ static G1Jac g1_msm_fixed_v8(const std::vector<G1Aff> &tbl, int nwin, int c,
     if (b0 >= b1) return;
     const size_t e0 = offs[b0], e1 = offs[b1];
     if (e1 > e0)
-      g1_bucket_accum_v8(tbl52, stride, entries.data() + e0, e1 - e0, pb,
-                         bshift, 8, ovf[t]);
+      g1_bucket_accum_aff_v8(tbl52, stride, entries.data() + e0, e1 - e0, pb,
+                             bshift, 8, ovf[t]);
   });
   for (auto &v : ovf)
     for (auto &pr : v) pb_merge_jac(pb, pr.first, pr.second);
@@ -3687,10 +4128,16 @@ static G1Jac g1_msm_fixed_v8(const std::vector<G1Aff> &tbl, int nwin, int c,
   total = g1_add_jac(total, corr);
   if (prof) {
     const double t_red = now_ms();
+    const long long tot = aff_ns_scan.exchange(0);
+    const long long fw = aff_ns_fwd.exchange(0);
+    const long long iv = aff_ns_inv.exchange(0);
+    const long long bw = aff_ns_bwd.exchange(0);
     fprintf(stderr,
             "[kzg_native] msm_fixed_v8 n=%d c=%d: prep=%.2fms accum=%.2fms "
-            "reduce=%.2fms entries=%zu\n",
-            n, c, t_prep - t0, t_accum - t_prep, t_red - t_accum, ne);
+            "reduce=%.2fms entries=%zu aff(core-ms fwd=%.2f inv=%.2f "
+            "bwd=%.2f other=%.2f)\n",
+            n, c, t_prep - t0, t_accum - t_prep, t_red - t_accum, ne,
+            fw / 1e6, iv / 1e6, bw / 1e6, (tot - fw - iv - bw) / 1e6);
   }
   return total;
 }

@@ -395,15 +395,21 @@ int main() {
   // fixed-base vector MSM (shift table + plane copy) vs scalar Pippenger;
   // n=20 hits the c=4 edge (bshift=0), n=600 a multi-lane reduce (c=9).
   {
-    for (int n : {20, 600}) {
+    // n=64 duplicates one point everywhere: identical table points collide
+    // in buckets, driving the batched-affine tree's exception path
+    // (doublings and inverse pairs deferred to the Jacobian overflow list).
+    for (int n : {20, 600, 64}) {
+      const bool dup = n == 64;
       const int c = pippenger_window(n);
       const int nwin = (256 + c - 1) / c + 1;
       std::vector<G1Aff> pts(n);
       std::vector<u8> scalars((size_t)32 * n);
       G1Jac g = {G1_GEN_X_M, G1_GEN_Y_M, FP_ONE_M};
       for (int i = 0; i < n; ++i) {
-        if (i % 19 == 7) {
+        if (!dup && i % 19 == 7) {
           pts[i] = {FP_ZERO, FP_ZERO, true};
+        } else if (dup && i > 0) {
+          pts[i] = pts[0];
         } else {
           u8 k[32];
           for (int j = 0; j < 32; ++j) k[j] = (u8)rnd64();
