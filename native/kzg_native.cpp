@@ -306,8 +306,8 @@ struct FieldCtx {
 // accumulator fits in N limbs plus one carry word and the t[N]/t[N+1]
 // bookkeeping of textbook CIOS disappears.
 template <int N>
-static void mont_mul(const FieldCtx<N> &C, const u64 *a, const u64 *b,
-                     u64 *out) {
+static void mont_mul_cios(const FieldCtx<N> &C, const u64 *a, const u64 *b,
+                          u64 *out) {
   u64 t[N];
   for (int i = 0; i < N; ++i) t[i] = 0;
   for (int i = 0; i < N; ++i) {
@@ -335,6 +335,162 @@ static void mont_mul(const FieldCtx<N> &C, const u64 *a, const u64 *b,
     sub_n<N>(t, C.mod, out);
   else
     for (int i = 0; i < N; ++i) out[i] = t[i];
+}
+
+#if defined(__ADX__) && defined(__BMI2__)
+#define KZG_HAVE_ADX 1
+
+// Same no-carry CIOS, hand-scheduled with MULX + dual ADCX/ADOX carry
+// chains (the blst/gnark register recipe, written from the algorithm).
+// Each outer iteration i does
+//   phase A:  t += a * b[i]        (overflow word -> U)
+//   phase B:  m = t0 * n'; t = (t + m*p) >> 64   (shift by renaming regs)
+// The accumulator lives in a ring of hard registers; "shifting" t right by
+// one limb is a relabeling, so the body is one asm block of 6 (resp. 4)
+// macro instantiations with rotated register lists and zero MOVs.
+//
+// Phase A register flow (T0..T5 = accumulator, U = overflow word, which is
+// guaranteed 0 on entry - it is the previous iteration's vanished t0):
+//   xor U,U              clears CF+OF
+//   mulx a[0] -> lo,hi ; adcx lo,T0
+//   for j=1..5: mulx a[j] -> lo,hi' ; adox hi,Tj ; adcx lo,Tj
+//   U += hi5 + OF + CF   (two flag-terminating adds against a zero reg)
+// Phase B is identical with p[] and m in rdx, except the completed limb j
+// lands one slot lower by renaming, and T0 (== 0 mod 2^64 by construction
+// of m) becomes the next iteration's U.
+#define KZG_MM_STEP_A(AOFF, TLO, THI, LO, HI)   \
+  "mulxq " AOFF "(%[a]), " LO ", " HI "\n\t"    \
+  "adoxq " TLO ", " THI "\n\t"                  \
+  "adcxq " LO ", " THI "\n\t"
+#define KZG_MM_STEP_B(POFF, TLO, THI, LO, HI)   \
+  "mulxq " POFF "(%[p]), " LO ", " HI "\n\t"    \
+  "adoxq " TLO ", " THI "\n\t"                  \
+  "adcxq " LO ", " THI "\n\t"
+
+#define KZG_MM6_ITER(BOFF, T0, T1, T2, T3, T4, T5, U)     \
+  /* phase A: t += a * b[i] */                            \
+  "movq  " BOFF "(%[b]), %%rdx\n\t"                       \
+  "xorq  " U ", " U "\n\t"                                \
+  "mulxq 0(%[a]), %%rax, %%rbx\n\t"                       \
+  "adcxq %%rax, " T0 "\n\t"                               \
+  KZG_MM_STEP_A("8", "%%rbx", T1, "%%rax", "%%rcx")       \
+  KZG_MM_STEP_A("16", "%%rcx", T2, "%%rax", "%%rbx")      \
+  KZG_MM_STEP_A("24", "%%rbx", T3, "%%rax", "%%rcx")      \
+  KZG_MM_STEP_A("32", "%%rcx", T4, "%%rax", "%%rbx")      \
+  KZG_MM_STEP_A("40", "%%rbx", T5, "%%rax", "%%rcx")      \
+  "movl  $0, %%eax\n\t"                                   \
+  "adoxq %%rcx, " U "\n\t"                                \
+  "adcxq %%rax, " U "\n\t"                                \
+  /* phase B: m = t0*n'; t = (t + m*p) >> 64 */           \
+  "movq  " T0 ", %%rdx\n\t"                               \
+  "imulq %[np], %%rdx\n\t"                                \
+  "xorl  %%eax, %%eax\n\t"                                \
+  "mulxq 0(%[p]), %%rax, %%rbx\n\t"                       \
+  "adcxq %%rax, " T0 "\n\t"                               \
+  KZG_MM_STEP_B("8", "%%rbx", T1, "%%rax", "%%rcx")       \
+  KZG_MM_STEP_B("16", "%%rcx", T2, "%%rax", "%%rbx")      \
+  KZG_MM_STEP_B("24", "%%rbx", T3, "%%rax", "%%rcx")      \
+  KZG_MM_STEP_B("32", "%%rcx", T4, "%%rax", "%%rbx")      \
+  KZG_MM_STEP_B("40", "%%rbx", T5, "%%rax", "%%rcx")      \
+  "movl  $0, %%eax\n\t"                                   \
+  "adoxq %%rcx, " U "\n\t"                                \
+  "adcxq %%rax, " U "\n\t"
+
+static void mont_mul_adx6(const FieldCtx<6> &C, const u64 *a, const u64 *b,
+                          u64 *out) {
+  register u64 t0 asm("r8") = 0;
+  register u64 t1 asm("r9") = 0;
+  register u64 t2 asm("r10") = 0;
+  register u64 t3 asm("r11") = 0;
+  register u64 t4 asm("r12") = 0;
+  register u64 t5 asm("r13") = 0;
+  register u64 uu asm("r14") = 0;
+  asm volatile(
+      // 7-register ring r8..r14; each iteration advances the window by one.
+      KZG_MM6_ITER("0", "%%r8", "%%r9", "%%r10", "%%r11", "%%r12", "%%r13",
+                   "%%r14")
+      KZG_MM6_ITER("8", "%%r9", "%%r10", "%%r11", "%%r12", "%%r13", "%%r14",
+                   "%%r8")
+      KZG_MM6_ITER("16", "%%r10", "%%r11", "%%r12", "%%r13", "%%r14", "%%r8",
+                   "%%r9")
+      KZG_MM6_ITER("24", "%%r11", "%%r12", "%%r13", "%%r14", "%%r8", "%%r9",
+                   "%%r10")
+      KZG_MM6_ITER("32", "%%r12", "%%r13", "%%r14", "%%r8", "%%r9", "%%r10",
+                   "%%r11")
+      KZG_MM6_ITER("40", "%%r13", "%%r14", "%%r8", "%%r9", "%%r10", "%%r11",
+                   "%%r12")
+      : "+r"(t0), "+r"(t1), "+r"(t2), "+r"(t3), "+r"(t4), "+r"(t5), "+r"(uu)
+      : [a] "r"(a), [b] "r"(b), [p] "r"(C.mod), [np] "m"(C.nprime)
+      : "rax", "rbx", "rcx", "rdx", "cc", "memory");
+  // After 6 shifts of the 7-ring the accumulator is (r14,r8,r9,r10,r11,r12).
+  u64 t[6] = {uu, t0, t1, t2, t3, t4};
+  if (cmp_n<6>(t, C.mod) >= 0)
+    sub_n<6>(t, C.mod, out);
+  else
+    for (int i = 0; i < 6; ++i) out[i] = t[i];
+}
+
+#define KZG_MM4_ITER(BOFF, T0, T1, T2, T3, U)             \
+  "movq  " BOFF "(%[b]), %%rdx\n\t"                       \
+  "xorq  " U ", " U "\n\t"                                \
+  "mulxq 0(%[a]), %%rax, %%rbx\n\t"                       \
+  "adcxq %%rax, " T0 "\n\t"                               \
+  KZG_MM_STEP_A("8", "%%rbx", T1, "%%rax", "%%rcx")       \
+  KZG_MM_STEP_A("16", "%%rcx", T2, "%%rax", "%%rbx")      \
+  KZG_MM_STEP_A("24", "%%rbx", T3, "%%rax", "%%rcx")      \
+  "movl  $0, %%eax\n\t"                                   \
+  "adoxq %%rcx, " U "\n\t"                                \
+  "adcxq %%rax, " U "\n\t"                                \
+  "movq  " T0 ", %%rdx\n\t"                               \
+  "imulq %[np], %%rdx\n\t"                                \
+  "xorl  %%eax, %%eax\n\t"                                \
+  "mulxq 0(%[p]), %%rax, %%rbx\n\t"                       \
+  "adcxq %%rax, " T0 "\n\t"                               \
+  KZG_MM_STEP_B("8", "%%rbx", T1, "%%rax", "%%rcx")       \
+  KZG_MM_STEP_B("16", "%%rcx", T2, "%%rax", "%%rbx")      \
+  KZG_MM_STEP_B("24", "%%rbx", T3, "%%rax", "%%rcx")      \
+  "movl  $0, %%eax\n\t"                                   \
+  "adoxq %%rcx, " U "\n\t"                                \
+  "adcxq %%rax, " U "\n\t"
+
+static void mont_mul_adx4(const FieldCtx<4> &C, const u64 *a, const u64 *b,
+                          u64 *out) {
+  register u64 t0 asm("r8") = 0;
+  register u64 t1 asm("r9") = 0;
+  register u64 t2 asm("r10") = 0;
+  register u64 t3 asm("r11") = 0;
+  register u64 uu asm("r12") = 0;
+  asm volatile(
+      // 5-register ring r8..r12.
+      KZG_MM4_ITER("0", "%%r8", "%%r9", "%%r10", "%%r11", "%%r12")
+      KZG_MM4_ITER("8", "%%r9", "%%r10", "%%r11", "%%r12", "%%r8")
+      KZG_MM4_ITER("16", "%%r10", "%%r11", "%%r12", "%%r8", "%%r9")
+      KZG_MM4_ITER("24", "%%r11", "%%r12", "%%r8", "%%r9", "%%r10")
+      : "+r"(t0), "+r"(t1), "+r"(t2), "+r"(t3), "+r"(uu)
+      : [a] "r"(a), [b] "r"(b), [p] "r"(C.mod), [np] "m"(C.nprime)
+      : "rax", "rbx", "rcx", "rdx", "cc", "memory");
+  // After 4 shifts of the 5-ring the accumulator is (r12,r8,r9,r10).
+  u64 t[4] = {uu, t0, t1, t2};
+  if (cmp_n<4>(t, C.mod) >= 0)
+    sub_n<4>(t, C.mod, out);
+  else
+    for (int i = 0; i < 4; ++i) out[i] = t[i];
+}
+#endif  // __ADX__ && __BMI2__
+
+template <int N>
+static inline void mont_mul(const FieldCtx<N> &C, const u64 *a, const u64 *b,
+                            u64 *out) {
+#ifdef KZG_HAVE_ADX
+  if constexpr (N == 6) {
+    mont_mul_adx6(C, a, b, out);
+    return;
+  } else if constexpr (N == 4) {
+    mont_mul_adx4(C, a, b, out);
+    return;
+  }
+#endif
+  mont_mul_cios<N>(C, a, b, out);
 }
 
 template <int N>

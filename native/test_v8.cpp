@@ -33,6 +33,65 @@ static void dump(const char *tag, const u64 *v, int n) {
 
 int main() {
   ensure_init();
+#ifdef KZG_HAVE_ADX
+  // 0. ADX mont_mul == generic CIOS mont_mul, both moduli, including
+  //    edge inputs (0, 1, p-1, dense high limbs) and aliased outputs.
+  {
+    for (int t = 0; t < 200000; ++t) {
+      u64 a6[6], b6[6], r_adx[6], r_cios[6];
+      for (int i = 0; i < 6; ++i) {
+        a6[i] = rnd64();
+        b6[i] = rnd64();
+      }
+      // force < p (uniform enough: clamp top limb below p's top limb)
+      a6[5] %= FP.mod[5];
+      b6[5] %= FP.mod[5];
+      if (t == 0) memset(a6, 0, sizeof(a6));
+      if (t == 1) { memset(a6, 0, sizeof(a6)); a6[0] = 1; }
+      if (t == 2) { sub_n<6>(FP.mod, a6, a6); }  // p - prev
+      mont_mul_adx6(FP, a6, b6, r_adx);
+      mont_mul_cios<6>(FP, a6, b6, r_cios);
+      if (memcmp(r_adx, r_cios, sizeof(r_adx)) != 0) {
+        printf("FAIL adx6 t=%d\n", t);
+        dump("a", a6, 6);
+        dump("b", b6, 6);
+        dump("adx", r_adx, 6);
+        dump("cios", r_cios, 6);
+        return 1;
+      }
+      // aliased: r = r * r
+      memcpy(r_cios, r_adx, sizeof(r_adx));
+      mont_mul_adx6(FP, r_adx, r_adx, r_adx);
+      mont_mul_cios<6>(FP, r_cios, r_cios, r_cios);
+      if (memcmp(r_adx, r_cios, sizeof(r_adx)) != 0) {
+        printf("FAIL adx6 aliased t=%d\n", t);
+        return 1;
+      }
+      u64 a4[4], b4[4], s_adx[4], s_cios[4];
+      for (int i = 0; i < 4; ++i) {
+        a4[i] = rnd64();
+        b4[i] = rnd64();
+      }
+      a4[3] %= FR.mod[3];
+      b4[3] %= FR.mod[3];
+      if (t == 0) memset(a4, 0, sizeof(a4));
+      if (t == 2) sub_n<4>(FR.mod, a4, a4);
+      mont_mul_adx4(FR, a4, b4, s_adx);
+      mont_mul_cios<4>(FR, a4, b4, s_cios);
+      if (memcmp(s_adx, s_cios, sizeof(s_adx)) != 0) {
+        printf("FAIL adx4 t=%d\n", t);
+        dump("a", a4, 4);
+        dump("b", b4, 4);
+        dump("adx", s_adx, 4);
+        dump("cios", s_cios, 4);
+        return 1;
+      }
+    }
+    printf("PASS adx mont_mul (6-limb Fp + 4-limb Fr) vs generic CIOS\n");
+  }
+#else
+  printf("no ADX on this build (generic mont_mul in use)\n");
+#endif
 #ifndef KZG_HAVE_IFMA
   printf("no IFMA on this build\n");
   return 1;
