@@ -1240,6 +1240,137 @@ static G2Jac g2_mul_jac(const G2Jac &base, const u8 *k_be, int len) {
 }
 
 // ===========================================================================
+// Fixed-base generator multiplication
+// ===========================================================================
+//
+// [k]G1gen / [k]G2gen appear on every verification path (y*G1 in
+// verify_kzg_proof_impl kzg.rs:421, z*G2 kzg.rs:417-418, and the RLC y-fold
+// kzg.rs:603-612).  The bases are protocol constants, so 4-bit fixed windows
+// (64 windows x 15 multiples d*16^w*B, built once and batch-normalized to
+// affine) replace the 256-step double-and-add ladder with <= 64 additions.
+
+static G1Aff GEN1_TBL[64][15];
+static std::once_flag GEN1_FLAG;
+
+static void gen1_build() {
+  static G1Jac rows[64 * 15];
+  G1Jac base = {G1_GEN_X_M, G1_GEN_Y_M, FP_ONE_M};
+  for (int w = 0; w < 64; ++w) {
+    G1Jac acc = base;
+    for (int d = 0; d < 15; ++d) {
+      rows[w * 15 + d] = acc;
+      acc = g1_add_jac(acc, base);
+    }
+    base = acc;  // 16 * previous base
+  }
+  // One batched inversion normalizes all 960 points (no row is infinity:
+  // d*2^(4w) with 1 <= d <= 15 is never 0 mod the odd prime r).
+  static Fp pref[64 * 15];
+  Fp accp = FP_ONE_M;
+  for (int i = 0; i < 64 * 15; ++i) {
+    accp = fp_mul(accp, rows[i].z);
+    pref[i] = accp;
+  }
+  Fp inv = fp_inv(accp);
+  for (int i = 64 * 15 - 1; i >= 0; --i) {
+    Fp zi = (i == 0) ? inv : fp_mul(inv, pref[i - 1]);
+    inv = fp_mul(inv, rows[i].z);
+    Fp zi2 = fp_sqr(zi);
+    GEN1_TBL[i / 15][i % 15] = {fp_mul(rows[i].x, zi2),
+                                fp_mul(fp_mul(rows[i].y, zi2), zi), false};
+  }
+}
+
+// [k]G1gen, k a 32-byte big-endian scalar (any value; not reduced).
+static G1Jac g1_mul_gen(const u8 k_be[32]) {
+  std::call_once(GEN1_FLAG, gen1_build);
+  G1Jac acc = g1_jac_inf();
+  for (int i = 0; i < 32; ++i) {
+    const int dhi = k_be[i] >> 4, dlo = k_be[i] & 15;
+    const int wlo = 2 * (31 - i);
+    if (dhi) acc = g1_add_mixed(acc, GEN1_TBL[wlo + 1][dhi - 1]);
+    if (dlo) acc = g1_add_mixed(acc, GEN1_TBL[wlo][dlo - 1]);
+  }
+  return acc;
+}
+
+// Canonical G2 generator affine coordinates (consensus-spec constant; the
+// reference carries it Montgomery-encoded at consts.rs:81-154).
+static const char *G2GEN_HEX[4] = {
+    "024aa2b2f08f0a91260805272dc51051c6e47ad4fa403b02b4510b647ae3d177"
+    "0bac0326a805bbefd48056c8c121bdb8",
+    "13e02b6052719f607dacd3a088274f65596bd0d09920b61ab5da61bbdc7f5049"
+    "334cf11213945d57e5ac7d055d042b7e",
+    "0ce5d527727d6e118cc9cdc6da2e351aadfd9baa8cbdd3a76d429a695160d12c"
+    "923ac9cc3baca289e193548608b82801",
+    "0606c4a02ea734cc32acd2b02bc28b99cb3e287e85a763af267492ab572e99ab"
+    "3f370d275cec1da1aaa9075ff05f79be"};
+
+static G2Aff GEN2_TBL[64][15];
+static G2Aff GEN2_BASE;  // canonical generator, to gate table use
+static std::once_flag GEN2_FLAG;
+
+static void gen2_build() {
+  u64 c[6];
+  from_hex<6>(G2GEN_HEX[0], c);
+  to_mont<6>(FP, c, GEN2_BASE.x.a.v);
+  from_hex<6>(G2GEN_HEX[1], c);
+  to_mont<6>(FP, c, GEN2_BASE.x.b.v);
+  from_hex<6>(G2GEN_HEX[2], c);
+  to_mont<6>(FP, c, GEN2_BASE.y.a.v);
+  from_hex<6>(G2GEN_HEX[3], c);
+  to_mont<6>(FP, c, GEN2_BASE.y.b.v);
+  GEN2_BASE.inf = false;
+  static G2Jac rows[64 * 15];
+  G2Jac base = {GEN2_BASE.x, GEN2_BASE.y, FP2_ONE_C};
+  for (int w = 0; w < 64; ++w) {
+    G2Jac acc = base;
+    for (int d = 0; d < 15; ++d) {
+      rows[w * 15 + d] = acc;
+      acc = g2_add_jac(acc, base);
+    }
+    base = acc;
+  }
+  static Fp2 pref[64 * 15];
+  Fp2 accp = FP2_ONE_C;
+  for (int i = 0; i < 64 * 15; ++i) {
+    accp = fp2_mul(accp, rows[i].z);
+    pref[i] = accp;
+  }
+  Fp2 inv = fp2_inv(accp);
+  for (int i = 64 * 15 - 1; i >= 0; --i) {
+    Fp2 zi = (i == 0) ? inv : fp2_mul(inv, pref[i - 1]);
+    inv = fp2_mul(inv, rows[i].z);
+    Fp2 zi2 = fp2_sqr(zi);
+    GEN2_TBL[i / 15][i % 15] = {fp2_mul(rows[i].x, zi2),
+                                fp2_mul(fp2_mul(rows[i].y, zi2), zi), false};
+  }
+}
+
+// [k]G2gen via the fixed table.  Callers must gate on g2_is_canonical_gen
+// (table is only valid for the canonical base).
+static bool g2_is_canonical_gen(const G2Aff &g) {
+  std::call_once(GEN2_FLAG, gen2_build);
+  return !g.inf && fp2_eq(g.x, GEN2_BASE.x) && fp2_eq(g.y, GEN2_BASE.y);
+}
+
+static G2Jac g2_mul_gen(const u8 k_be[32]) {
+  std::call_once(GEN2_FLAG, gen2_build);
+  G2Jac acc = g2_jac_inf();
+  for (int i = 0; i < 32; ++i) {
+    const int dhi = k_be[i] >> 4, dlo = k_be[i] & 15;
+    const int wlo = 2 * (31 - i);
+    if (dhi)
+      acc = g2_add_jac(acc, {GEN2_TBL[wlo + 1][dhi - 1].x,
+                             GEN2_TBL[wlo + 1][dhi - 1].y, FP2_ONE_C});
+    if (dlo)
+      acc = g2_add_jac(
+          acc, {GEN2_TBL[wlo][dlo - 1].x, GEN2_TBL[wlo][dlo - 1].y, FP2_ONE_C});
+  }
+  return acc;
+}
+
+// ===========================================================================
 // Pairing: projective inversion-free Miller loop (mirrors ops/pairing.py,
 // which is validated on hardware against the golden model) + x-chain final
 // exponentiation (golden/pairing.py:100-129).
@@ -4049,8 +4180,7 @@ int kzg_verify_blob_batch_ptrs(void *ctx_p, const u8 *const *blob_ptrs,
   if (!is_zero_n<4>(ry_std.v)) {
     u8 ry_be[32];
     to_be<4>(ry_std.v, 32, ry_be);
-    G1Jac g = {G1_GEN_X_M, G1_GEN_Y_M, FP_ONE_M};
-    G1Jac ryg = g1_mul_jac(g, ry_be, 32);
+    G1Jac ryg = g1_mul_gen(ry_be);
     ryg.y = fp_neg(ryg.y);
     rhs = g1_add_jac(rhs, ryg);
   }
@@ -4685,17 +4815,22 @@ static int verify_pair_eq(VerifyCtx *ctx, const G1Aff &C, const Fr &z_std,
   u8 sc[32];
   // x_minus_z = [s]G2 - z*G2gen (kzg.rs:417-418)
   to_be<4>(z_std.v, 32, sc);
-  G2Jac gg = ctx->g2_gen.inf ? g2_jac_inf()
-                             : G2Jac{ctx->g2_gen.x, ctx->g2_gen.y, FP2_ONE_C};
-  G2Jac zg = g2_mul_jac(gg, sc, 32);
+  G2Jac zg;
+  if (g2_is_canonical_gen(ctx->g2_gen)) {
+    zg = g2_mul_gen(sc);
+  } else {
+    G2Jac gg = ctx->g2_gen.inf
+                   ? g2_jac_inf()
+                   : G2Jac{ctx->g2_gen.x, ctx->g2_gen.y, FP2_ONE_C};
+    zg = g2_mul_jac(gg, sc, 32);
+  }
   zg.y = fp2_neg(zg.y);
   G2Jac sj = ctx->g2_s.inf ? g2_jac_inf()
                            : G2Jac{ctx->g2_s.x, ctx->g2_s.y, FP2_ONE_C};
   G2Aff x_minus_z = g2_to_aff(g2_add_jac(sj, zg));
   // p_minus_y = C - [y]G1 (kzg.rs:421-422)
   to_be<4>(y_std.v, 32, sc);
-  G1Jac g = {G1_GEN_X_M, G1_GEN_Y_M, FP_ONE_M};
-  G1Jac yg = g1_mul_jac(g, sc, 32);
+  G1Jac yg = g1_mul_gen(sc);
   yg.y = fp_neg(yg.y);
   G1Aff p_minus_y = g1_to_aff(g1_add_jac(g1_from_aff(C), yg));
   // e(-(C - yG), G2gen) * e(proof, s - zG2) == 1

@@ -89,6 +89,38 @@ int main() {
     }
     printf("PASS adx mont_mul (6-limb Fp + 4-limb Fr) vs generic CIOS\n");
   }
+  // 0b. fixed-base generator multiplication vs double-and-add ladder
+  {
+    G1Jac g1 = {G1_GEN_X_M, G1_GEN_Y_M, FP_ONE_M};
+    std::call_once(GEN2_FLAG, gen2_build);
+    G2Jac g2 = {GEN2_BASE.x, GEN2_BASE.y, FP2_ONE_C};
+    for (int t = 0; t < 64; ++t) {
+      u8 k[32];
+      for (int i = 0; i < 32; ++i) k[i] = (u8)rnd64();
+      if (t == 0) memset(k, 0, 32);
+      if (t == 1) { memset(k, 0, 32); k[31] = 1; }
+      if (t == 2) memset(k, 0xff, 32);
+      G1Aff a = g1_to_aff(g1_mul_gen(k));
+      G1Aff b = g1_to_aff(g1_mul_jac(g1, k, 32));
+      if (a.inf != b.inf ||
+          (!a.inf && (!fp_eq(a.x, b.x) || !fp_eq(a.y, b.y)))) {
+        printf("FAIL g1_mul_gen t=%d\n", t);
+        return 1;
+      }
+      G2Aff c = g2_to_aff(g2_mul_gen(k));
+      G2Aff d = g2_to_aff(g2_mul_jac(g2, k, 32));
+      if (c.inf != d.inf ||
+          (!c.inf && (!fp2_eq(c.x, d.x) || !fp2_eq(c.y, d.y)))) {
+        printf("FAIL g2_mul_gen t=%d\n", t);
+        return 1;
+      }
+    }
+    if (!g2_is_canonical_gen(GEN2_BASE)) {
+      printf("FAIL g2_is_canonical_gen(base)\n");
+      return 1;
+    }
+    printf("PASS fixed-base g1/g2 generator mul vs ladder\n");
+  }
 #else
   printf("no ADX on this build (generic mont_mul in use)\n");
 #endif
