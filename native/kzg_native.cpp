@@ -1746,6 +1746,126 @@ static int pippenger_window(int n) {
 
 // digits[w] in [-(2^(c-1)) .. 2^(c-1)]; scalars are 32B BE, < r < 2^255,
 // so ceil(256/c)+1 windows absorb every carry.
+static void signed_digits_limbs(const u64 v[4], int c, int nwin,
+                                int32_t *digits) {
+  int carry = 0;
+  for (int w = 0; w < nwin; ++w) {
+    int bit = w * c;
+    int d = carry;
+    if (bit < 256) {
+      u64 lo = v[bit / 64] >> (bit % 64);
+      if (bit % 64 + c > 64 && bit / 64 + 1 < 4)
+        lo |= v[bit / 64 + 1] << (64 - bit % 64);
+      d += (int)(lo & (((u64)1 << c) - 1));
+    }
+    if (d > (1 << (c - 1))) {
+      d -= 1 << c;
+      carry = 1;
+    } else {
+      carry = 0;
+    }
+    digits[w] = d;
+  }
+}
+
+// GLV scalar decomposition.  The endomorphism phi(x,y) = (beta*x, y) acts on
+// G1 as multiplication by lam = r - z^2 (the same identity the subgroup
+// check uses, golden/curve.py:176-195).  Babai rounding against the lattice
+// basis (z^2, 1), (1, 1 - z^2) of {(a,b) : a + b*lam = 0 mod r} splits a
+// reduced scalar k into k = k1 + lam*k2 with |k1|, |k2| < 2^128, halving the
+// window count of every variable-base MSM.  Reciprocals are 2^-320
+// fixed-point; the +-1 rounding slack is absorbed by the 130-bit digit
+// budget in g1_msm_var_v8.
+static const u64 GLV_Z2[2] = {0x100000000ULL, 0xac45a4010001a402ULL};
+static const u64 GLV_R1[4] = {0x034eb4b927adc027ULL, 0x63f6e522f6cfee2eULL,
+                              0x7c6becf1e01faaddULL, 0x1ULL};
+static const u64 GLV_R2[2] = {0x355094edfede377cULL, 0x2ULL};
+
+struct GlvSplit {
+  u64 k1[4], k2[4];  // magnitudes (< 2^128; 4 limbs for the digit codec)
+  bool neg1, neg2;
+};
+
+// c3 = (k * R + 2^319) >> 320 with k 4 limbs, R nr<=4 limbs.
+static void glv_round_mul(const u64 *k, const u64 *R, int nr, u64 *c3) {
+  u64 prod[9] = {0};
+  for (int i = 0; i < 4; ++i) {
+    u64 carry = 0;
+    for (int j = 0; j < nr; ++j) {
+      u128 s = (u128)k[i] * R[j] + prod[i + j] + carry;
+      prod[i + j] = (u64)s;
+      carry = (u64)(s >> 64);
+    }
+    prod[i + nr] = carry;
+  }
+  u128 s = (u128)prod[4] + (1ULL << 63);
+  prod[4] = (u64)s;
+  for (int i = 5; i < 9 && (s >> 64); ++i) {
+    s = (u128)prod[i] + 1;
+    prod[i] = (u64)s;
+  }
+  c3[0] = prod[5];
+  c3[1] = prod[6];
+  c3[2] = prod[7];
+}
+
+// acc -= c * m (mod 2^256), c 3 limbs, m 2 limbs.
+static void glv_submul(u64 acc[4], const u64 *c3, const u64 *m2) {
+  u64 t[4] = {0, 0, 0, 0};
+  for (int i = 0; i < 3; ++i) {
+    u64 carry = 0;
+    for (int j = 0; j < 2 && i + j < 4; ++j) {
+      u128 s = (u128)c3[i] * m2[j] + t[i + j] + carry;
+      t[i + j] = (u64)s;
+      carry = (u64)(s >> 64);
+    }
+    if (i + 2 < 4) t[i + 2] += carry;
+  }
+  sub_n<4>(acc, t, acc);
+}
+
+static void glv_decompose(const u8 *k_be, GlvSplit &out) {
+  u64 k[4];
+  from_be<4>(k_be, 32, k);
+  u64 c1[3], c2[3];
+  glv_round_mul(k, GLV_R1, 4, c1);
+  glv_round_mul(k, GLV_R2, 2, c2);
+  // k1 = k - c1*z^2 - c2 ; k2 = c2*z^2 - c2 - c1   (mod 2^256, signed)
+  u64 k1[4] = {k[0], k[1], k[2], k[3]};
+  glv_submul(k1, c1, GLV_Z2);
+  u64 c2e[4] = {c2[0], c2[1], c2[2], 0};
+  sub_n<4>(k1, c2e, k1);
+  u64 k2[4] = {0, 0, 0, 0};
+  {
+    // k2 = c2*z^2 (mod 2^256) ...
+    for (int i = 0; i < 3; ++i) {
+      u64 carry = 0;
+      for (int j = 0; j < 2 && i + j < 4; ++j) {
+        u128 s = (u128)c2[i] * GLV_Z2[j] + k2[i + j] + carry;
+        k2[i + j] = (u64)s;
+        carry = (u64)(s >> 64);
+      }
+      if (i + 2 < 4) k2[i + 2] += carry;
+    }
+    // ... minus c2, minus c1
+    sub_n<4>(k2, c2e, k2);
+    u64 c1e[4] = {c1[0], c1[1], c1[2], 0};
+    sub_n<4>(k2, c1e, k2);
+  }
+  out.neg1 = (k1[3] >> 63) != 0;
+  out.neg2 = (k2[3] >> 63) != 0;
+  if (out.neg1) {
+    u64 z[4] = {0, 0, 0, 0};
+    sub_n<4>(z, k1, k1);
+  }
+  if (out.neg2) {
+    u64 z[4] = {0, 0, 0, 0};
+    sub_n<4>(z, k2, k2);
+  }
+  memcpy(out.k1, k1, sizeof(k1));
+  memcpy(out.k2, k2, sizeof(k2));
+}
+
 static void signed_digits(const u8 *k_be, int c, int nwin, int32_t *digits) {
   u64 v[4];
   from_be<4>(k_be, 32, v);
@@ -3623,33 +3743,47 @@ static G1Jac g1_msm_var_v8(const std::vector<G1Aff> &pts, const u8 *scalars,
   // are ~6x costlier per op than a vector-lane add, so the optimum sits
   // lower than the scalar path's pippenger_window: c=5 up to n=512.
   const int c = (n < 512) ? 5 : pippenger_window(n);
-  const int nwin = (256 + c - 1) / c + 1;
+  // GLV split: each 255-bit scalar becomes two <= 130-bit halves (the +-1
+  // Babai slack over 2^128 is covered), on P and phi(P).  Entry count is
+  // unchanged; window count - and with it the whole reduction - halves.
+  const int nwin = (130 + c - 1) / c + 1;
   const int nbuckets = 1 << (c - 1);
   const int nb_total = nwin * nbuckets;
+  const int n2 = 2 * n;
 
-  std::vector<int32_t> digits((size_t)n * nwin);
+  std::vector<GlvSplit> splits(n);
+  std::vector<int32_t> digits((size_t)n2 * nwin);
   parallel_for(n, [&](int i) {
-    signed_digits(scalars + 32 * i, c, nwin, &digits[(size_t)i * nwin]);
+    glv_decompose(scalars + 32 * i, splits[i]);
+    signed_digits_limbs(splits[i].k1, c, nwin, &digits[(size_t)i * nwin]);
+    signed_digits_limbs(splits[i].k2, c, nwin,
+                        &digits[(size_t)(n + i) * nwin]);
   });
 
-  // 52-limb plane table of the input points (lane gathers by point index).
-  const size_t stride = (size_t)n;
+  // 52-limb plane table of the input points (lane gathers by point index);
+  // rows n..2n-1 hold phi(P_i) = (beta * x_i, y_i).
+  const size_t stride = (size_t)n2;
   std::vector<u64> tbl52(16 * stride, 0);
   parallel_for(n, [&](int i) {
     if (pts[i].inf) return;  // zeroed rows are never gathered
     u64 x52[8], y52[8];
     fp52_from_fp(pts[i].x.v, x52);
     fp52_from_fp(pts[i].y.v, y52);
+    Fp bx = fp_mul(pts[i].x, FP_BETA);
+    u64 bx52[8];
+    fp52_from_fp(bx.v, bx52);
     for (int l = 0; l < 8; ++l) {
       tbl52[(size_t)l * stride + i] = x52[l];
       tbl52[(size_t)(8 + l) * stride + i] = y52[l];
+      tbl52[(size_t)l * stride + n + i] = bx52[l];
+      tbl52[(size_t)(8 + l) * stride + n + i] = y52[l];
     }
   });
 
   // Counting-sort (window-major merged bucket id) -> bucket-major entries.
   std::vector<u32> offs(nb_total + 1, 0);
-  for (int i = 0; i < n; ++i) {
-    if (pts[i].inf) continue;
+  for (int i = 0; i < n2; ++i) {
+    if (pts[i < n ? i : i - n].inf) continue;
     const int32_t *dg = &digits[(size_t)i * nwin];
     for (int w = 0; w < nwin; ++w) {
       const int32_t d = dg[w];
@@ -3660,14 +3794,15 @@ static G1Jac g1_msm_var_v8(const std::vector<G1Aff> &pts, const u8 *scalars,
   for (int b = 0; b < nb_total; ++b) offs[b + 1] += offs[b];
   std::vector<u64> entries(offs[nb_total]);
   std::vector<u32> fill(offs.begin(), offs.end() - 1);
-  for (int i = 0; i < n; ++i) {
-    if (pts[i].inf) continue;
+  for (int i = 0; i < n2; ++i) {
+    if (pts[i < n ? i : i - n].inf) continue;
+    const bool sneg = (i < n) ? splits[i].neg1 : splits[i - n].neg2;
     const int32_t *dg = &digits[(size_t)i * nwin];
     for (int w = 0; w < nwin; ++w) {
       const int32_t d = dg[w];
       if (d == 0) continue;
       const u64 b = (u64)w * nbuckets + (d > 0 ? d - 1 : -d - 1);
-      const u64 neg = d < 0;
+      const u64 neg = (d < 0) ^ sneg;
       entries[fill[b]++] = (b << 33) | (neg << 32) | (u64)i;
     }
   }

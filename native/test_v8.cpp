@@ -121,6 +121,46 @@ int main() {
     }
     printf("PASS fixed-base g1/g2 generator mul vs ladder\n");
   }
+  // 0c. GLV decomposition: k == k1 + lam*k2 (mod r), magnitudes < 2^130
+  {
+    static const u64 LAM[4] = {0xfffffffe00000001ULL, 0xa7780001fffcb7fcULL,
+                               0x3339d80809a1d804ULL, 0x73eda753299d7d48ULL};
+    Fr lam_m;
+    to_mont<4>(FR, LAM, lam_m.v);
+    for (int t = 0; t < 100000; ++t) {
+      u64 k[4];
+      for (int i = 0; i < 4; ++i) k[i] = rnd64();
+      k[3] %= FR.mod[3];  // < r (coarse but inside range)
+      if (t == 0) memset(k, 0, sizeof(k));
+      if (t == 1) { memset(k, 0, sizeof(k)); k[0] = 1; }
+      if (t == 2) {
+        u64 onev[4] = {1, 0, 0, 0};
+        sub_n<4>(FR.mod, onev, k);  // r - 1
+      }
+      u8 be[32];
+      to_be<4>(k, 32, be);
+      GlvSplit s;
+      glv_decompose(be, s);
+      if (s.k1[3] || s.k2[3] || (s.k1[2] >> 2) || (s.k2[2] >> 2)) {
+        printf("FAIL glv magnitude t=%d\n", t);
+        return 1;
+      }
+      Fr k1m, k2m, km, res;
+      to_mont<4>(FR, s.k1, k1m.v);
+      to_mont<4>(FR, s.k2, k2m.v);
+      u64 kr[4] = {k[0], k[1], k[2], k[3]};
+      while (cmp_n<4>(kr, FR.mod) >= 0) sub_n<4>(kr, FR.mod, kr);
+      to_mont<4>(FR, kr, km.v);
+      if (s.neg1) k1m = fr_neg(k1m);
+      if (s.neg2) k2m = fr_neg(k2m);
+      res = fr_add(k1m, fr_mul(lam_m, k2m));
+      if (memcmp(res.v, km.v, sizeof(res.v)) != 0) {
+        printf("FAIL glv identity t=%d\n", t);
+        return 1;
+      }
+    }
+    printf("PASS glv decomposition identity + bounds\n");
+  }
 #else
   printf("no ADX on this build (generic mont_mul in use)\n");
 #endif
