@@ -3372,6 +3372,10 @@ static void g1_bucket_accum_aff_v8(const u64 *tbl52, size_t stride,
           Fp fx, fy;
           fp52_to_fp(ex[l], fx.v);
           fp52_to_fp(ey[l], fy.v);
+          // Tree-internal values ride in [0, 4p); the scalar Jacobian ops
+          // the overflow list feeds require canonical (< p) coordinates.
+          while (cmp_n<6>(fx.v, FP.mod) >= 0) sub_n<6>(fx.v, FP.mod, fx.v);
+          while (cmp_n<6>(fy.v, FP.mod) >= 0) sub_n<6>(fy.v, FP.mod, fy.v);
           ovf.emplace_back(slot_of(pbk[8 * g + l]), G1Jac{fx, fy, FP_ONE_M});
         }
       }

@@ -522,6 +522,49 @@ int main() {
     }
     printf("ok: g1_msm_var_v8 vs scalar Pippenger\n");
   }
+  // fixed-base v8 MSM with a degenerate table (all points identical):
+  // floods the batched-affine tree's exception path with doublings and
+  // exact cancellations (scalars 1 and 31 put (G,+) and (G,-) in bucket 0).
+  {
+    const int n = 16, c = 5, nwin = 4;
+    G1Jac g = {G1_GEN_X_M, G1_GEN_Y_M, FP_ONE_M};
+    std::vector<G1Aff> tbl((size_t)n * nwin);
+    for (int w = 0; w < nwin; ++w) {
+      G1Aff a = g1_to_aff(g);
+      for (int i = 0; i < n; ++i) tbl[(size_t)i * nwin + w] = a;
+      for (int d = 0; d < c; ++d) g = g1_dbl(g);
+    }
+    const size_t stride52 = (size_t)n * nwin;
+    std::vector<u64> tbl52(16 * stride52);
+    for (size_t r = 0; r < stride52; ++r) {
+      u64 x52[8], y52[8];
+      fp52_from_fp(tbl[r].x.v, x52);
+      fp52_from_fp(tbl[r].y.v, y52);
+      for (int l = 0; l < 8; ++l) {
+        tbl52[(size_t)l * stride52 + r] = x52[l];
+        tbl52[(size_t)(8 + l) * stride52 + r] = y52[l];
+      }
+    }
+    std::vector<u8> scalars((size_t)32 * n, 0);
+    for (int i = 0; i < n; ++i) {
+      u32 k;
+      if (i == 0) k = 1;
+      else if (i == 1) k = 31;       // digit -1 in window 0: cancels i==0
+      else if (i <= 3) k = 5;        // duplicate bucket: doubling exception
+      else k = (u32)(rnd64() & 0x3fff);
+      scalars[32 * i + 30] = (u8)(k >> 8);
+      scalars[32 * i + 31] = (u8)k;
+    }
+    G1Aff a = g1_to_aff(g1_msm_fixed(tbl, nwin, c, scalars.data(), n));
+    G1Aff b = g1_to_aff(
+        g1_msm_fixed(tbl, nwin, c, scalars.data(), n, tbl52.data(), stride52));
+    if (a.inf != b.inf ||
+        (!a.inf && (!fp_eq2(a.x, b.x) || !fp_eq2(a.y, b.y)))) {
+      printf("FAIL msm_fixed degenerate-table exception path\n");
+      return 1;
+    }
+    printf("ok: g1_msm_fixed exception path (doubling/cancellation)\n");
+  }
 
   // fixed-base vector MSM (shift table + plane copy) vs scalar Pippenger;
   // n=20 hits the c=4 edge (bshift=0), n=600 a multi-lane reduce (c=9).
