@@ -1,0 +1,162 @@
+"""Differential fuzzing: jax/native backend vs the golden oracle.
+
+The conformance vectors pin 208 fixed cases; this suite adds randomized
+adversarial inputs - bit-flipped proofs/commitments, non-canonical field
+elements, the point at infinity, in-domain evaluation points - and asserts
+the production backend and the pure-Python golden model agree exactly
+(same boolean, or the same error class) on every one.  Seeds are fixed, so
+failures reproduce.  Runs on the minimal preset for speed with a mainnet
+spot-check.
+"""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+
+from kzg_rust_tpu import Blob, Bytes32, Bytes48, KzgError
+from kzg_rust_tpu.api import Kzg
+from kzg_rust_tpu.backends import get_backend
+from kzg_rust_tpu.presets import MINIMAL
+from kzg_rust_tpu.utils.testing import make_insecure_setup
+
+from .conftest import TRUSTED_SETUP_TXT
+
+
+def _outcome(fn, *args):
+    """(kind, value): 'ok'/bool or 'err'/exception class."""
+    try:
+        return ("ok", fn(*args))
+    except KzgError as e:
+        return ("err", type(e))
+
+
+def _flip_bit(data: bytes, bit: int) -> bytes:
+    b = bytearray(data)
+    b[bit // 8] ^= 1 << (bit % 8)
+    return bytes(b)
+
+
+@pytest.fixture(scope="module")
+def minimal_env():
+    settings = make_insecure_setup(MINIMAL)
+    golden = get_backend("golden")
+    jaxbe = get_backend("jax")
+    rng = random.Random(0xF0220)
+    n_fe = MINIMAL.field_elements_per_blob
+    blob = Blob(
+        b"".join(b"\x00" + rng.randbytes(31) for _ in range(n_fe)),
+        bytes_per_blob=MINIMAL.bytes_per_blob,
+    )
+    commitment = Kzg.blob_to_kzg_commitment(blob, settings, backend=golden)
+    proof = Kzg.compute_blob_kzg_proof(blob, commitment, settings, backend=golden)
+    return settings, golden, jaxbe, rng, blob, commitment, proof
+
+
+def test_verify_kzg_proof_differential(minimal_env):
+    settings, golden, jaxbe, rng, blob, commitment, _ = minimal_env
+    z = Bytes32((3).to_bytes(32, "big"))
+    proof, y = Kzg.compute_kzg_proof(blob, z, settings, backend=golden)
+
+    cases = [(commitment, z, y, proof)]
+    # Bit flips in every input, random positions.
+    for _ in range(10):
+        which = rng.randrange(4)
+        c2, z2, y2, p2 = bytes(commitment), bytes(z), bytes(y), bytes(proof)
+        if which == 0:
+            c2 = _flip_bit(c2, rng.randrange(48 * 8))
+        elif which == 1:
+            z2 = _flip_bit(z2, rng.randrange(32 * 8))
+        elif which == 2:
+            y2 = _flip_bit(y2, rng.randrange(32 * 8))
+        else:
+            p2 = _flip_bit(p2, rng.randrange(48 * 8))
+        cases.append((c2, z2, y2, p2))
+    # Non-canonical scalars and the infinity commitment/proof.
+    inf = b"\xc0" + b"\x00" * 47
+    cases.append((inf, z, y, proof))
+    cases.append((commitment, z, y, inf))
+    cases.append((inf, z, y, inf))
+    cases.append((commitment, b"\xff" * 32, y, proof))
+    cases.append((commitment, z, b"\xff" * 32, proof))
+    # In-domain z (a root of unity, exercising the stored-eval short-circuit).
+    root = settings.roots_of_unity[1]
+    zr = Bytes32(root.to_bytes(32, "big"))
+    pr, yr = Kzg.compute_kzg_proof(blob, zr, settings, backend=golden)
+    cases.append((commitment, zr, yr, pr))
+
+    for i, (c, zz, yy, pp) in enumerate(cases):
+        def run(backend):
+            return _outcome(
+                Kzg.verify_kzg_proof,
+                Bytes48(c) if len(c) == 48 else c,
+                Bytes32(zz) if len(zz) == 32 else zz,
+                Bytes32(yy) if len(yy) == 32 else yy,
+                Bytes48(pp) if len(pp) == 48 else pp,
+                settings,
+                backend,
+            )
+
+        g = run(golden)
+        j = run(jaxbe)
+        assert g == j, f"case {i}: golden={g} jax={j}"
+
+
+def test_verify_blob_proof_batch_differential(minimal_env):
+    settings, golden, jaxbe, rng, blob, commitment, proof = minimal_env
+    blobs, comms, proofs = [blob], [commitment], [proof]
+    for k in range(3):
+        b = Blob(
+            b"".join(b"\x00" + rng.randbytes(31) for _ in range(4)),
+            bytes_per_blob=MINIMAL.bytes_per_blob,
+        )
+        c = Kzg.blob_to_kzg_commitment(b, settings, backend=golden)
+        p = Kzg.compute_blob_kzg_proof(b, c, settings, backend=golden)
+        blobs.append(b)
+        comms.append(c)
+        proofs.append(p)
+
+    variants = [
+        (blobs, comms, proofs),
+        (blobs, comms, list(reversed(proofs))),           # wrong pairing
+        (blobs, [comms[1]] + comms[1:], proofs),          # wrong commitment
+        (blobs, comms, proofs[:1] * len(proofs)),         # repeated proof
+        ([], [], []),                                     # n = 0
+        (blobs[:1], comms[:1], proofs[:1]),               # n = 1 single path
+        (blobs, comms, proofs[:-1]),                      # length mismatch
+    ]
+    # Corrupted commitment bytes inside a batch.
+    bad_comm = Bytes48(_flip_bit(bytes(comms[2]), 17))
+    variants.append((blobs, comms[:2] + [bad_comm] + comms[3:], proofs))
+    # Non-canonical blob element inside a batch.
+    bad_blob = b"\xff" * 32 + bytes(blobs[1])[32:]
+    variants.append(
+        (blobs[:1] + [bad_blob] + blobs[2:], comms, proofs)
+    )
+
+    for i, (bs, cs, ps) in enumerate(variants):
+        g = _outcome(Kzg.verify_blob_kzg_proof_batch, bs, cs, ps, settings, golden)
+        j = _outcome(Kzg.verify_blob_kzg_proof_batch, bs, cs, ps, settings, jaxbe)
+        assert g == j, f"variant {i}: golden={g} jax={j}"
+
+
+@pytest.mark.skipif(not TRUSTED_SETUP_TXT.exists(), reason="no mainnet setup")
+def test_mainnet_spot_differential():
+    settings = Kzg.load_trusted_setup_file(str(TRUSTED_SETUP_TXT))
+    golden = get_backend("golden")
+    jaxbe = get_backend("jax")
+    rng = random.Random(0xF0221)
+    blob = Blob(b"".join(b"\x00" + rng.randbytes(31) for _ in range(4096)))
+    c = Kzg.blob_to_kzg_commitment(blob, settings, backend=jaxbe)
+    assert c == Kzg.blob_to_kzg_commitment(blob, settings, backend=golden)
+    p = Kzg.compute_blob_kzg_proof(blob, c, settings, backend=jaxbe)
+    assert p == Kzg.compute_blob_kzg_proof(blob, c, settings, backend=golden)
+    ok_g = Kzg.verify_blob_kzg_proof(blob, c, p, settings, backend=golden)
+    ok_j = Kzg.verify_blob_kzg_proof(blob, c, p, settings, backend=jaxbe)
+    assert ok_g is True and ok_j is True
+    bad = _flip_bit(bytes(p), 99)
+    assert (
+        _outcome(Kzg.verify_blob_kzg_proof, blob, c, Bytes48(bad), settings, golden)
+        == _outcome(Kzg.verify_blob_kzg_proof, blob, c, Bytes48(bad), settings, jaxbe)
+    )
