@@ -161,6 +161,41 @@ int main() {
     }
     printf("PASS glv decomposition identity + bounds\n");
   }
+  // 0d. interleaved two-stream SHA-256 == two independent streams
+  {
+    std::vector<u8> da(200000), db(200000);
+    for (size_t i = 0; i < da.size(); ++i) {
+      da[i] = (u8)rnd64();
+      db[i] = (u8)rnd64();
+    }
+    // lengths crossing block/padding boundaries, incl. the 131152-byte
+    // challenge-preimage size, split into irregular update chunks
+    const size_t lens[] = {0, 1, 55, 56, 63, 64, 65, 127, 131152, 199999};
+    for (size_t len : lens) {
+      Sha256 ra, rb;
+      Sha256x2 x2;
+      size_t off = 0;
+      int chunk_i = 0;
+      const size_t chunks[] = {16, 16, 3, 64, 4096, 1, 131072};
+      while (off < len) {
+        size_t c = chunks[chunk_i++ % 7];
+        if (c > len - off) c = len - off;
+        ra.update(da.data() + off, c);
+        rb.update(db.data() + off, c);
+        x2.update(da.data() + off, db.data() + off, c);
+        off += c;
+      }
+      u8 ea[32], eb[32], xa[32], xb[32];
+      ra.final(ea);
+      rb.final(eb);
+      x2.final(xa, xb);
+      if (memcmp(ea, xa, 32) != 0 || memcmp(eb, xb, 32) != 0) {
+        printf("FAIL sha256x2 len=%zu\n", len);
+        return 1;
+      }
+    }
+    printf("PASS sha256x2 vs independent streams\n");
+  }
 #else
   printf("no ADX on this build (generic mont_mul in use)\n");
 #endif
