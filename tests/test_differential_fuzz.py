@@ -142,6 +142,27 @@ def test_verify_blob_proof_batch_differential(minimal_env):
 
 
 @pytest.mark.skipif(not TRUSTED_SETUP_TXT.exists(), reason="no mainnet setup")
+def test_mainnet_in_domain_proof_differential():
+    # z exactly on a domain point takes the reference's special quotient
+    # branch (kzg.rs:471-523, second batch inversion); compare backends on
+    # it and verify the resulting proof end-to-end.
+    settings = Kzg.load_trusted_setup_file(str(TRUSTED_SETUP_TXT))
+    golden = get_backend("golden")
+    jaxbe = get_backend("jax")
+    rng = random.Random(0xF0222)
+    blob = Blob(b"".join(b"\x00" + rng.randbytes(31) for _ in range(4096)))
+    for idx in (0, 1, 2049):
+        z = Bytes32(settings.roots_of_unity[idx].to_bytes(32, "big"))
+        pg, yg = Kzg.compute_kzg_proof(blob, z, settings, backend=golden)
+        pj, yj = Kzg.compute_kzg_proof(blob, z, settings, backend=jaxbe)
+        assert (bytes(pg), bytes(yg)) == (bytes(pj), bytes(yj)), f"idx={idx}"
+        # y must equal the stored evaluation (kzg.rs:360-362)
+        assert bytes(yg) == bytes(blob)[idx * 32 : (idx + 1) * 32]
+        c = Kzg.blob_to_kzg_commitment(blob, settings, backend=jaxbe)
+        assert Kzg.verify_kzg_proof(c, z, yg, pg, settings, backend=jaxbe) is True
+
+
+@pytest.mark.skipif(not TRUSTED_SETUP_TXT.exists(), reason="no mainnet setup")
 def test_mainnet_spot_differential():
     settings = Kzg.load_trusted_setup_file(str(TRUSTED_SETUP_TXT))
     golden = get_backend("golden")
