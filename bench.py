@@ -25,9 +25,12 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 BASELINE_BLOBS_PER_S = 400.0  # documented estimate, see module docstring
 BATCH_N = 64  # reference's largest criterion batch size
-# The bench host's effective CPU speed oscillates ~2x (hypervisor
-# contention); best-of-many filters that noise out of the reported number.
-REPEATS = 15
+# The bench host's effective CPU speed oscillates 2-6x on a seconds scale
+# (hypervisor contention); best-of-many with a spacing sleep samples enough
+# distinct windows that the reported number reflects the machine, not the
+# neighbors.
+REPEATS = 25
+SPACING_S = 0.25
 
 
 def random_blob(rng: random.Random, n_fe: int) -> bytes:
@@ -68,7 +71,9 @@ def main() -> None:
     assert Kzg.verify_blob_kzg_proof_batch(blobs, commitments, proofs, settings) is True
 
     best = float("inf")
-    for _ in range(REPEATS):
+    for i in range(REPEATS):
+        if i:
+            time.sleep(SPACING_S)
         t0 = time.perf_counter()
         ok = Kzg.verify_blob_kzg_proof_batch(blobs, commitments, proofs, settings)
         dt = time.perf_counter() - t0
