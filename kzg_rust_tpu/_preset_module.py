@@ -24,6 +24,10 @@ def build(preset: Preset):
             return super().__new__(cls, data, bytes_per_blob=preset.bytes_per_blob)
 
         @classmethod
+        def from_bytes(cls, data: bytes):
+            return cls(bytes(data))
+
+        @classmethod
         def from_hex(cls, hex_str: str):
             return cls(_types.hex_to_bytes(hex_str))
 
@@ -32,18 +36,22 @@ def build(preset: Preset):
         "field elements (reference: kzg.rs:154-178)."
     )
 
-    class Kzg(_Kzg):
-        PRESET = preset
+    bound = preset
 
+    class Kzg(_Kzg):
+        PRESET = bound
+
+        # Parameter names match the base Kzg exactly so keyword call sites
+        # port verbatim; only the defaults are preset-bound.
         @staticmethod
-        def load_trusted_setup_file(path, preset_arg: Preset = preset) -> KzgSettings:
-            return _Kzg.load_trusted_setup_file(path, preset_arg)
+        def load_trusted_setup_file(path, preset: Preset = bound) -> KzgSettings:
+            return _Kzg.load_trusted_setup_file(path, preset)
 
         @staticmethod
         def load_trusted_setup(
-            trusted_setup: TrustedSetup, preset_arg: Preset | None = None
+            trusted_setup: TrustedSetup, preset: Preset | None = None
         ) -> KzgSettings:
-            return _Kzg.load_trusted_setup(trusted_setup, preset_arg or preset)
+            return _Kzg.load_trusted_setup(trusted_setup, preset or bound)
 
     Kzg.__doc__ = f"The eight spec functions bound to the {preset.name} preset."
     return Kzg, Blob

@@ -1374,7 +1374,7 @@ static G1Aff GEN1_TBL[64][15];
 static std::once_flag GEN1_FLAG;
 
 static void gen1_build() {
-  static G1Jac rows[64 * 15];
+  std::vector<G1Jac> rows(64 * 15);
   G1Jac base = {G1_GEN_X_M, G1_GEN_Y_M, FP_ONE_M};
   for (int w = 0; w < 64; ++w) {
     G1Jac acc = base;
@@ -1386,7 +1386,7 @@ static void gen1_build() {
   }
   // One batched inversion normalizes all 960 points (no row is infinity:
   // d*2^(4w) with 1 <= d <= 15 is never 0 mod the odd prime r).
-  static Fp pref[64 * 15];
+  std::vector<Fp> pref(64 * 15);
   Fp accp = FP_ONE_M;
   for (int i = 0; i < 64 * 15; ++i) {
     accp = fp_mul(accp, rows[i].z);
@@ -1429,9 +1429,9 @@ static const char *G2GEN_HEX[4] = {
 
 static G2Aff GEN2_TBL[64][15];
 static G2Aff GEN2_BASE;  // canonical generator, to gate table use
-static std::once_flag GEN2_FLAG;
+static std::once_flag GEN2_FLAG, GEN2_BASE_FLAG;
 
-static void gen2_build() {
+static void gen2_base_init() {
   u64 c[6];
   from_hex<6>(G2GEN_HEX[0], c);
   to_mont<6>(FP, c, GEN2_BASE.x.a.v);
@@ -1442,7 +1442,11 @@ static void gen2_build() {
   from_hex<6>(G2GEN_HEX[3], c);
   to_mont<6>(FP, c, GEN2_BASE.y.b.v);
   GEN2_BASE.inf = false;
-  static G2Jac rows[64 * 15];
+}
+
+static void gen2_build() {
+  std::call_once(GEN2_BASE_FLAG, gen2_base_init);
+  std::vector<G2Jac> rows(64 * 15);
   G2Jac base = {GEN2_BASE.x, GEN2_BASE.y, FP2_ONE_C};
   for (int w = 0; w < 64; ++w) {
     G2Jac acc = base;
@@ -1452,7 +1456,7 @@ static void gen2_build() {
     }
     base = acc;
   }
-  static Fp2 pref[64 * 15];
+  std::vector<Fp2> pref(64 * 15);
   Fp2 accp = FP2_ONE_C;
   for (int i = 0; i < 64 * 15; ++i) {
     accp = fp2_mul(accp, rows[i].z);
@@ -1468,10 +1472,11 @@ static void gen2_build() {
   }
 }
 
-// [k]G2gen via the fixed table.  Callers must gate on g2_is_canonical_gen
-// (table is only valid for the canonical base).
+// Gate for the fixed G2 table (valid only for the canonical base).  Only
+// initializes the base constant - the ~190KB table build is deferred to
+// g2_mul_gen so non-canonical-generator contexts never pay for it.
 static bool g2_is_canonical_gen(const G2Aff &g) {
-  std::call_once(GEN2_FLAG, gen2_build);
+  std::call_once(GEN2_BASE_FLAG, gen2_base_init);
   return !g.inf && fp2_eq(g.x, GEN2_BASE.x) && fp2_eq(g.y, GEN2_BASE.y);
 }
 
@@ -1990,24 +1995,7 @@ static void glv_decompose(const u8 *k_be, GlvSplit &out) {
 static void signed_digits(const u8 *k_be, int c, int nwin, int32_t *digits) {
   u64 v[4];
   from_be<4>(k_be, 32, v);
-  int carry = 0;
-  for (int w = 0; w < nwin; ++w) {
-    int bit = w * c;
-    int d = carry;
-    if (bit < 256) {
-      u64 lo = v[bit / 64] >> (bit % 64);
-      if (bit % 64 + c > 64 && bit / 64 + 1 < 4)
-        lo |= v[bit / 64 + 1] << (64 - bit % 64);
-      d += (int)(lo & (((u64)1 << c) - 1));
-    }
-    if (d > (1 << (c - 1))) {
-      d -= 1 << c;
-      carry = 1;
-    } else {
-      carry = 0;
-    }
-    digits[w] = d;
-  }
+  signed_digits_limbs(v, c, nwin, digits);
 }
 
 static G1Jac g1_msm_pippenger(const std::vector<G1Aff> &pts,

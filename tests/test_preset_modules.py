@@ -22,6 +22,23 @@ def test_blob_length_bound_to_preset(mod):
         mod.Blob(b"\x00" * (mod.BYTES_PER_BLOB - 32))
 
 
+@pytest.mark.parametrize("mod", [kzg_mainnet, kzg_minimal], ids=["mainnet", "minimal"])
+def test_blob_from_bytes_and_from_hex(mod):
+    raw = b"\x00" * mod.BYTES_PER_BLOB
+    assert isinstance(mod.Blob.from_bytes(bytearray(raw)), mod.Blob)
+    assert isinstance(mod.Blob.from_hex("0x" + raw.hex()), mod.Blob)
+
+
+def test_loader_keyword_matches_base_kzg(tmp_path):
+    # Keyword call sites written against the base Kzg must port verbatim.
+    from kzg_rust_tpu.utils.testing import write_insecure_setup_file
+
+    path = tmp_path / "s.txt"
+    write_insecure_setup_file(path, kzg_minimal.PRESET)
+    st = kzg_minimal.Kzg.load_trusted_setup_file(str(path), preset=kzg_minimal.PRESET)
+    assert st.preset.field_elements_per_blob == 4
+
+
 def test_mainnet_minimal_lengths_differ():
     assert kzg_mainnet.FIELD_ELEMENTS_PER_BLOB == 4096
     assert kzg_minimal.FIELD_ELEMENTS_PER_BLOB == 4
