@@ -3686,6 +3686,36 @@ static void g1_subgroup_v8(const G1Aff *p, bool *ok) {
 // Batched decode (uncompress [+ subgroup]) over n compressed points,
 // 8-wide groups in parallel.  Returns 0 or the first error code
 // (err_malformed / err_subgroup).
+// Decode + validate one 8-point group (group g of ceil(n/8)); returns 0 or
+// the error code.  Extracted so callers can schedule groups as tasks in a
+// larger work queue.
+static int g1_decode_group_v8(const u8 *comp, u32 n, G1Aff *out,
+                              bool check_subgroup, int err_malformed,
+                              int err_subgroup, u32 g) {
+  const u32 lo = 8 * g;
+  const u32 cnt = (n - lo < 8) ? (n - lo) : 8;
+  u8 buf[48 * 8];
+  memcpy(buf, comp + 48 * (size_t)lo, 48 * cnt);
+  // pad tail lanes with the infinity encoding (valid, subgroup-passing)
+  for (u32 l = cnt; l < 8; ++l) {
+    memset(buf + 48 * l, 0, 48);
+    buf[48 * l] = 0xC0;
+  }
+  G1Aff pts[8];
+  int rc[8];
+  g1_uncompress_v8(buf, pts, rc);
+  for (u32 l = 0; l < cnt; ++l)
+    if (rc[l]) return err_malformed;
+  if (check_subgroup) {
+    bool ok[8];
+    g1_subgroup_v8(pts, ok);
+    for (u32 l = 0; l < cnt; ++l)
+      if (!ok[l]) return err_subgroup;
+  }
+  for (u32 l = 0; l < cnt; ++l) out[lo + l] = pts[l];
+  return 0;
+}
+
 static int g1_decode_points_v8(const u8 *comp, u32 n, G1Aff *out,
                                bool check_subgroup, int err_malformed,
                                int err_subgroup) {
@@ -3694,33 +3724,9 @@ static int g1_decode_points_v8(const u8 *comp, u32 n, G1Aff *out,
   std::atomic<int> err(0);
   parallel_for((int)ngroups, [&](int g) {
     if (err.load()) return;
-    const u32 lo = 8 * (u32)g;
-    const u32 cnt = (n - lo < 8) ? (n - lo) : 8;
-    u8 buf[48 * 8];
-    memcpy(buf, comp + 48 * (size_t)lo, 48 * cnt);
-    // pad tail lanes with the infinity encoding (valid, subgroup-passing)
-    for (u32 l = cnt; l < 8; ++l) {
-      memset(buf + 48 * l, 0, 48);
-      buf[48 * l] = 0xC0;
-    }
-    G1Aff pts[8];
-    int rc[8];
-    g1_uncompress_v8(buf, pts, rc);
-    for (u32 l = 0; l < cnt; ++l)
-      if (rc[l]) {
-        err.store(err_malformed);
-        return;
-      }
-    if (check_subgroup) {
-      bool ok[8];
-      g1_subgroup_v8(pts, ok);
-      for (u32 l = 0; l < cnt; ++l)
-        if (!ok[l]) {
-          err.store(err_subgroup);
-          return;
-        }
-    }
-    for (u32 l = 0; l < cnt; ++l) out[lo + l] = pts[l];
+    const int rc = g1_decode_group_v8(comp, n, out, check_subgroup,
+                                      err_malformed, err_subgroup, (u32)g);
+    if (rc) err.store(rc);
   });
   return err.load();
 }
@@ -4234,59 +4240,86 @@ int kzg_verify_blob_batch_ptrs(void *ctx_p, const u8 *const *blob_ptrs,
   double t0 = prof ? now_ms() : 0.0;
   std::vector<G1Aff> C(nb), P(nb);
   std::vector<Fr> zs(nb), ys(nb);  // standard domain
+  std::atomic<int> err(0);
+  // Fiat-Shamir challenge of blob pair b0/b0+1 (compute_challenge,
+  // kzg.rs:298-339), two equal-length preimages through the interleaved
+  // SHA-NI streams — the single-stream state chain is latency-bound, so
+  // pairing nearly doubles hash throughput.
+  u8 hdr[16];
+  be64(0, hdr);
+  be64(n, hdr + 8);
+  const auto hash_pair = [&](u32 b0) {
+    if (b0 + 1 < nb) {
+      Sha256x2 h2;
+      h2.update(ctx->fs_domain, ctx->fs_domain, 16);
+      h2.update(hdr, hdr, 16);
+      h2.update(blob_ptrs[b0], blob_ptrs[b0 + 1], (size_t)n * 32);
+      h2.update(comms + 48 * b0, comms + 48 * (b0 + 1), 48);
+      u8 d0[32], d1[32];
+      h2.final(d0, d1);
+      zs[b0] = fr_reduce_be32(d0);
+      zs[b0 + 1] = fr_reduce_be32(d1);
+    } else {
+      Sha256 h;
+      h.update(ctx->fs_domain, 16);
+      h.update(hdr, 16);
+      h.update(blob_ptrs[b0], (size_t)n * 32);
+      h.update(comms + 48 * b0, 48);
+      u8 dig[32];
+      h.final(dig);
+      zs[b0] = fr_reduce_be32(dig);
+    }
+  };
+  const u32 npairs = (nb + 1) / 2;
   // Point decode + validation (validate_kzg_g1, utils.rs:282-310: on-curve
   // via uncompress, infinity accepted, subgroup required) — 8-wide when the
   // IFMA engine is present, scalar inside the per-blob loop otherwise.
+  // Decode groups and challenge hashes are independent, so they share ONE
+  // dynamic task queue: a single barrier instead of three, and stragglers
+  // on a contended host steal whatever work remains.
   bool decoded = false;
 #ifdef KZG_HAVE_IFMA
   {
-    int rc = g1_decode_points_v8(comms, nb, C.data(), true, 1, 6);
-    if (rc) return rc;
-    rc = g1_decode_points_v8(proofs, nb, P.data(), true, 5, 6);
-    if (rc) return rc;
+    std::call_once(FP52_INIT_FLAG, fp52_init);
+    const u32 gc = (nb + 7) / 8;  // point groups per array
+    const u32 ntasks = 2 * gc + npairs;
+    std::atomic<u32> tnext(0);
+    int nwm = n_workers();
+    if ((u32)nwm > ntasks) nwm = (int)ntasks;
+    parallel_for(nwm, [&](int) {
+      for (;;) {
+        const u32 t = tnext.fetch_add(1);
+        if (t >= ntasks || err.load()) break;
+        if (t < 2 * gc) {
+          const bool is_proof = t >= gc;
+          const int rc = g1_decode_group_v8(
+              is_proof ? proofs : comms, nb,
+              is_proof ? P.data() : C.data(), true, is_proof ? 5 : 1, 6,
+              is_proof ? t - gc : t);
+          if (rc) err.store(rc);
+        } else {
+          hash_pair(2 * (t - 2 * gc));
+        }
+      }
+    });
+    if (err.load()) return err.load();
     decoded = true;
   }
-#endif
-  double t_decode = prof ? now_ms() : 0.0;
-  std::atomic<int> err(0);
-  // Fiat-Shamir challenges first (compute_challenge, kzg.rs:298-339), two
-  // blobs per worker iteration through the interleaved SHA-NI streams —
-  // the single-stream state chain is latency-bound, so pairing the
-  // equal-length preimages nearly doubles hash throughput.
+#else
   {
-    u8 hdr[16];
-    be64(0, hdr);
-    be64(n, hdr + 8);
     std::atomic<u32> next_pair(0);
     int nwh = n_workers();
-    if ((u32)nwh > (nb + 1) / 2) nwh = (int)((nb + 1) / 2);
+    if ((u32)nwh > npairs) nwh = (int)npairs;
     parallel_for(nwh, [&](int) {
       for (;;) {
         const u32 b0 = 2 * next_pair.fetch_add(1);
         if (b0 >= nb) break;
-        if (b0 + 1 < nb) {
-          Sha256x2 h2;
-          h2.update(ctx->fs_domain, ctx->fs_domain, 16);
-          h2.update(hdr, hdr, 16);
-          h2.update(blob_ptrs[b0], blob_ptrs[b0 + 1], (size_t)n * 32);
-          h2.update(comms + 48 * b0, comms + 48 * (b0 + 1), 48);
-          u8 d0[32], d1[32];
-          h2.final(d0, d1);
-          zs[b0] = fr_reduce_be32(d0);
-          zs[b0 + 1] = fr_reduce_be32(d1);
-        } else {
-          Sha256 h;
-          h.update(ctx->fs_domain, 16);
-          h.update(hdr, 16);
-          h.update(blob_ptrs[b0], (size_t)n * 32);
-          h.update(comms + 48 * b0, 48);
-          u8 dig[32];
-          h.final(dig);
-          zs[b0] = fr_reduce_be32(dig);
-        }
+        hash_pair(b0);
       }
     });
   }
+#endif
+  double t_decode = prof ? now_ms() : 0.0;
   std::atomic<u32> next(0);
   int nw = n_workers();
   if ((u32)nw > nb) nw = (int)nb;
@@ -4400,7 +4433,6 @@ int kzg_verify_blob_batch_ptrs(void *ctx_p, const u8 *const *blob_ptrs,
   // RLC challenge powers (compute_r_powers, utils.rs:426-474).
   Sha256 h;
   h.update(ctx->rc_domain, 16);
-  u8 hdr[16];
   be64(n, hdr);
   be64(nb, hdr + 8);
   h.update(hdr, 16);
