@@ -18,7 +18,10 @@ from .utils import bls_serde as serde
 
 def blob_to_polynomial(settings: KzgSettings, blob: bytes) -> list[int]:
     """Split the blob into 32-byte BE chunks, each validated < r
-    (reference: kzg.rs:282-291)."""
+    (reference: kzg.rs:282-291; the length check lives in the reference's
+    Blob type, kzg.rs:154-178, and must hold for raw-bytes callers too)."""
+    if len(blob) != settings.preset.bytes_per_blob:
+        raise BadArgs("blob_to_polynomial: invalid blob length")
     n = settings.preset.field_elements_per_blob
     evals = []
     for i in range(n):
@@ -146,22 +149,36 @@ def verify_blob_kzg_proof(
             return out
     commitment = serde.bytes_to_kzg_commitment(commitment_bytes)
     evals = blob_to_polynomial(settings, blob)
-    challenge = serde.compute_challenge(settings.preset, blob, commitment_bytes)
+    # challenge_hash, not compute_challenge: the commitment was validated
+    # on the line above (same validate-before-hash order as kzg.rs:320-323).
+    challenge = serde.challenge_hash(settings.preset, blob, commitment_bytes)
     y = evaluate_polynomial_in_evaluation_form(settings, evals, challenge, backend)
     proof = serde.bytes_to_kzg_proof(proof_bytes)
     return verify_kzg_proof_impl(settings, commitment, challenge, y, proof, backend)
 
 
 def verify_kzg_proof_batch(
-    settings: KzgSettings, commitments, zs, ys, proofs, backend
+    settings: KzgSettings,
+    commitments,
+    zs,
+    ys,
+    proofs,
+    backend,
+    commitment_bytes=None,
+    proof_bytes=None,
 ) -> bool:
     """RLC batch check (reference: kzg.rs:579-627):
     e(sum r^i proof_i, [s]G2) ==
     e(sum r^i (C_i - [y_i]G1) + sum (r^i z_i) proof_i, G2).
-    Uses naive lincombs by design (reference: utils.rs:349-356)."""
+    Uses naive lincombs by design (reference: utils.rs:349-356).  Callers
+    holding the original compressed bytes pass them through - the RLC hash
+    preimage is built from input bytes (reference: utils.rs:426-474), so
+    this also avoids 2n recompressions."""
     n = len(commitments)
-    commitment_bytes = [serde.bytes_from_g1(c) for c in commitments]
-    proof_bytes = [serde.bytes_from_g1(p) for p in proofs]
+    if commitment_bytes is None:
+        commitment_bytes = [serde.bytes_from_g1(c) for c in commitments]
+    if proof_bytes is None:
+        proof_bytes = [serde.bytes_from_g1(p) for p in proofs]
     r_powers = serde.compute_r_powers(
         settings.preset, commitment_bytes, zs, ys, proof_bytes
     )
@@ -212,7 +229,8 @@ def verify_blob_kzg_proof_batch(
     for i in range(n):
         commitments.append(serde.bytes_to_kzg_commitment(commitments_bytes[i]))
         evals = blob_to_polynomial(settings, blobs[i])
-        challenge = serde.compute_challenge(
+        # commitment validated just above; hash without re-validating
+        challenge = serde.challenge_hash(
             settings.preset, blobs[i], commitments_bytes[i]
         )
         zs.append(challenge)
@@ -221,4 +239,13 @@ def verify_blob_kzg_proof_batch(
         )
         proofs.append(serde.bytes_to_kzg_proof(proofs_bytes[i]))
 
-    return verify_kzg_proof_batch(settings, commitments, zs, ys, proofs, backend)
+    return verify_kzg_proof_batch(
+        settings,
+        commitments,
+        zs,
+        ys,
+        proofs,
+        backend,
+        commitment_bytes=[bytes(b) for b in commitments_bytes],
+        proof_bytes=[bytes(b) for b in proofs_bytes],
+    )

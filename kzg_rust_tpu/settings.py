@@ -65,37 +65,73 @@ def _setup_cache_path(g1_bytes: bytes, g2_bytes: bytes, preset: Preset):
 
 
 def _points_from_cache(path):
-    """Load decompressed affine points from an npz bundle, or None."""
+    """Load decompressed affine points from an npz bundle, or None.
+
+    The cache is strictly best-effort: any failure (truncated/corrupt npz,
+    schema drift, bad shapes) falls back to re-decompressing the inputs."""
     import numpy as np
 
     try:
         with np.load(path) as z:
             g1x, g1y, g1inf = z["g1x"], z["g1y"], z["g1inf"]
             g2c, g2inf = z["g2c"], z["g2inf"]
-    except (OSError, KeyError, ValueError):
+            g1 = [
+                None
+                if g1inf[i]
+                else (
+                    int.from_bytes(g1x[i].tobytes(), "big"),
+                    int.from_bytes(g1y[i].tobytes(), "big"),
+                )
+                for i in range(g1x.shape[0])
+            ]
+            g2 = [
+                None
+                if g2inf[i]
+                else (
+                    (
+                        int.from_bytes(g2c[i, 0, 0].tobytes(), "big"),
+                        int.from_bytes(g2c[i, 0, 1].tobytes(), "big"),
+                    ),
+                    (
+                        int.from_bytes(g2c[i, 1, 0].tobytes(), "big"),
+                        int.from_bytes(g2c[i, 1, 1].tobytes(), "big"),
+                    ),
+                )
+                for i in range(g2c.shape[0])
+            ]
+    except Exception:
         return None
-    g1 = [
-        None
-        if g1inf[i]
-        else (int.from_bytes(g1x[i].tobytes(), "big"), int.from_bytes(g1y[i].tobytes(), "big"))
-        for i in range(g1x.shape[0])
-    ]
-    g2 = [
-        None
-        if g2inf[i]
-        else (
-            (
-                int.from_bytes(g2c[i, 0, 0].tobytes(), "big"),
-                int.from_bytes(g2c[i, 0, 1].tobytes(), "big"),
-            ),
-            (
-                int.from_bytes(g2c[i, 1, 0].tobytes(), "big"),
-                int.from_bytes(g2c[i, 1, 1].tobytes(), "big"),
-            ),
-        )
-        for i in range(g2c.shape[0])
-    ]
     return g1, g2
+
+
+def _validate_cached_points(g1_values, g2_values) -> bool:
+    """Revalidate a cache hit before trusting it.
+
+    The filename hash keys on the *inputs*, not the file contents, so a
+    writable cache dir is part of the trust base.  Cheap checks run
+    unconditionally (on-curve for every point, the Lagrange-form pairing
+    check); the G1 subgroup sweep runs through the vectorized native
+    runtime when present.  Any failure discards the cache entry and falls
+    back to decompressing the original bytes."""
+    from .golden import curve as gc
+
+    try:
+        with timed("load_trusted_setup.cache_validate", n=len(g1_values)):
+            for p in g1_values:
+                if p is not None and not gc.g1_is_on_curve(p):
+                    return False
+            for p in g2_values:
+                if p is not None and not gc.g2_is_on_curve(p):
+                    return False
+            from . import native as _native
+
+            if _native.available():
+                if not hostcrypto.g1_subgroup_batch(g1_values):
+                    return False
+            is_trusted_setup_in_lagrange_form(g1_values, g2_values)
+    except Exception:
+        return False
+    return True
 
 
 def _points_to_cache(path, g1_values, g2_values) -> None:
@@ -123,17 +159,21 @@ def _points_to_cache(path, g1_values, g2_values) -> None:
             for a in range(2):
                 for b in range(2):
                     g2c[i, a, b] = np.frombuffer(p[a][b].to_bytes(48, "big"), np.uint8)
-    os.makedirs(os.path.dirname(path), exist_ok=True)
-    fd, tmp = tempfile.mkstemp(dir=os.path.dirname(path), suffix=".tmp")
+    # Best-effort: an unwritable or full cache dir must never fail the load.
+    tmp = None
     try:
+        os.makedirs(os.path.dirname(path), mode=0o700, exist_ok=True)
+        fd, tmp = tempfile.mkstemp(dir=os.path.dirname(path), suffix=".tmp")
         with os.fdopen(fd, "wb") as fh:
             np.savez(fh, g1x=g1x, g1y=g1y, g1inf=g1inf, g2c=g2c, g2inf=g2inf)
+        os.chmod(tmp, 0o600)
         os.replace(tmp, path)
-    except OSError:
-        try:
-            os.unlink(tmp)
-        except OSError:
-            pass
+    except Exception:
+        if tmp is not None:
+            try:
+                os.unlink(tmp)
+            except OSError:
+                pass
 
 
 def load_trusted_setup(
@@ -149,10 +189,10 @@ def load_trusted_setup(
 
     Decompressed points are cached on disk keyed by the input bytes (the
     reference re-decompresses 4161 points on every load, kzg.rs:859-887;
-    here the second load of the same ceremony is a bulk array read and the
-    one-time validations - on-curve, Lagrange-form pairing - are skipped
-    because they held when the cache entry was written).  Disable by setting
-    ``KZG_TPU_CACHE_DIR`` to an empty string.
+    here the second load of the same ceremony is a bulk array read).  Cache
+    hits are revalidated before use (_validate_cached_points) since the
+    file contents are not authenticated by the filename hash.  Disable
+    caching by setting ``KZG_TPU_CACHE_DIR`` to an empty string.
     """
     import os
 
@@ -166,7 +206,7 @@ def load_trusted_setup(
     if os.environ.get("KZG_TPU_CACHE_DIR", True):
         cache_path = _setup_cache_path(g1_bytes, g2_bytes, preset)
         cached = _points_from_cache(cache_path)
-        if cached is not None:
+        if cached is not None and _validate_cached_points(*cached):
             g1_cached, g2_cached = cached
             logger.debug(
                 "load_trusted_setup cache=hit n1=%d n2=%d path=%s", n1, n2, cache_path

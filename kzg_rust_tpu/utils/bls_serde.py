@@ -32,7 +32,11 @@ def hash_to_bls_field(b: bytes) -> int:
 
 
 def bytes_to_bls_field(b: bytes) -> int:
-    """BE bytes -> Fr, rejecting values >= r (reference: utils.rs:262-275)."""
+    """32 BE bytes -> Fr, rejecting values >= r (reference: utils.rs:262-275;
+    the 32-byte length is enforced by the reference's Bytes32 type and must
+    hold for raw-bytes callers too)."""
+    if len(b) != 32:
+        raise BadArgs("bytes_to_bls_field Invalid Bytes32 length")
     v = int.from_bytes(b, "big")
     if v >= R:
         raise BadArgs("bytes_to_bls_field Invalid Bytes32")
@@ -98,7 +102,8 @@ def challenge_preimage(preset: Preset, blob: bytes, commitment_bytes: bytes) -> 
         + bytes(blob)
         + bytes(commitment_bytes)
     )
-    assert len(preimage) == preset.challenge_input_size
+    if len(preimage) != preset.challenge_input_size:
+        raise BadArgs("compute_challenge: invalid preimage length")
     return preimage
 
 
