@@ -31,15 +31,18 @@ def _pow2_pad(n: int, lo: int = 2) -> int:
 
 
 _HASH_POOL = None
+_HASH_POOL_LOCK = __import__("threading").Lock()
 
 
 def _hash_pool():
     """Shared executor for GIL-releasing SHA-256 work."""
     global _HASH_POOL
     if _HASH_POOL is None:
-        from concurrent.futures import ThreadPoolExecutor
+        with _HASH_POOL_LOCK:
+            if _HASH_POOL is None:
+                from concurrent.futures import ThreadPoolExecutor
 
-        _HASH_POOL = ThreadPoolExecutor(max_workers=os.cpu_count() or 4)
+                _HASH_POOL = ThreadPoolExecutor(max_workers=os.cpu_count() or 4)
     return _HASH_POOL
 
 
@@ -48,7 +51,11 @@ class JaxBackend(GoldenBackend):
 
     def __init__(self):
         super().__init__()
-        self._ctx = {}  # per-settings device state (limb tensors, MSM tables)
+        # Settings-independent state only; per-settings state lives on
+        # settings._device_cache so its lifetime follows the settings
+        # object (id()-keyed entries could serve stale state after
+        # address reuse, and would leak for the process lifetime).
+        self._ctx = {}
 
     # -- batched blob verification (device pipeline) --------------------------
 
@@ -84,6 +91,15 @@ class JaxBackend(GoldenBackend):
                 for b in blobs:
                     if len(b) != preset.bytes_per_blob:
                         raise BadArgs("blob_to_polynomial: invalid blob length")
+                # The native entry reads exactly n*48 bytes per array: a
+                # wrong-length element must raise here, not read past the
+                # joined buffer.
+                for b in commitments_bytes:
+                    if len(bytes(b)) != 48:
+                        raise BadArgs("g1_uncompress: expected 48 bytes")
+                for b in proofs_bytes:
+                    if len(bytes(b)) != 48:
+                        raise BadArgs("g1_uncompress: expected 48 bytes")
                 comms = b"".join(bytes(b) for b in commitments_bytes)
                 proofs = b"".join(bytes(b) for b in proofs_bytes)
                 if all(isinstance(b, bytes) for b in blobs):
@@ -203,18 +219,6 @@ class JaxBackend(GoldenBackend):
             proof_lincomb, settings.g2_values[1], rhs_g1, gcurve.G2_GENERATOR
         )
 
-    def _subgroup_check_batch(self, points) -> None:
-        import jax.numpy as jnp
-
-        from ..ops import curve as C
-        from ..ops import verify_kernels as V
-
-        npad = _pow2_pad(len(points), lo=8)
-        arr = C.points_to_proj(points + [None] * (npad - len(points)))
-        ok = np.asarray(V.subgroup_check_kernel(jnp.asarray(arr)))
-        if not bool(ok.all()):
-            raise BadArgs("validate_kzg_g1 not in right subgroup")
-
     def _prepare_batch(self, settings, points, blob_dev, xs) -> list[int]:
         """Subgroup checks + batched barycentric in one dispatch/fetch;
         raises on the first invalid input, returns the ys as ints."""
@@ -261,32 +265,6 @@ class JaxBackend(GoldenBackend):
         a = np.frombuffer(buf, dtype=np.uint8).reshape(nb, fe, 32)
         return jnp.asarray(a)
 
-    def _barycentric_batch(self, settings, blob_dev, xs) -> list[int]:
-        import jax.numpy as jnp
-
-        from ..ops import limbs as L
-        from ..ops import verify_kernels as V
-        from ..ops.fields import FR
-
-        ctx = self._fr_ctx(settings)
-        nb = blob_dev.shape[0]
-        npad = _pow2_pad(nb, lo=4)
-        if npad != nb:
-            pad = jnp.zeros((npad - nb,) + blob_dev.shape[1:], jnp.uint8)
-            blob_dev = jnp.concatenate([blob_dev, pad])
-        xs_arr = L.ints_to_limbs(FR.nlimbs, list(xs) + [0] * (npad - nb))
-        ys, ok = V.bary_batch_from_bytes_kernel(
-            ctx.n,
-            ctx.roots_m,
-            ctx.inv_n_m,
-            blob_dev,
-            jnp.asarray(xs_arr),
-        )
-        ys_host = np.asarray(ys)
-        if not bool(np.asarray(ok)):
-            raise BadArgs("bytes_to_bls_field Invalid Bytes32")
-        return L.limbs_to_ints(ys_host[:nb])
-
     # -- fused single verification (native host path) --------------------------
 
     def verify_kzg_proof_pipeline(
@@ -331,16 +309,31 @@ class JaxBackend(GoldenBackend):
 
     def _prover_native_ctx(self, settings):
         """Native fused prover context for this setup, or None."""
-        key = ("prover_native", id(settings))
-        if key not in self._ctx:
+        cache = settings._device_cache
+        if "prover_native" not in cache:
             from ..presets import FIAT_SHAMIR_PROTOCOL_DOMAIN
 
-            self._ctx[key] = hostcrypto.prover_ctx(
+            cache["prover_native"] = hostcrypto.prover_ctx(
                 settings.roots_of_unity,
                 settings.g1_values,
                 FIAT_SHAMIR_PROTOCOL_DOMAIN,
             )
-        return self._ctx[key]
+        return cache["prover_native"]
+
+    def compute_blob_proof_pipeline(self, settings, blob, commitment_bytes):
+        """Fused ``compute_blob_kzg_proof`` (reference: kzg.rs:533-544):
+        commitment validation + Fiat-Shamir challenge + quotient + MSM in
+        one native call when the host runtime is present; NotImplemented
+        otherwise (the piecewise path then owns validation + errors)."""
+        if os.environ.get("KZG_TPU_PROVER", "auto") in ("auto", "host"):
+            native = self._prover_native_ctx(settings)
+            if native is not None:
+                if len(blob) != settings.preset.bytes_per_blob:
+                    raise BadArgs("blob_to_polynomial: invalid blob length")
+                if len(bytes(commitment_bytes)) != 48:
+                    raise BadArgs("g1_uncompress: expected 48 bytes")
+                return native.blob_proof(bytes(blob), bytes(commitment_bytes))
+        return NotImplemented
 
     def blob_to_commitment_pipeline(self, settings, blob):
         """Single-dispatch ``blob_to_kzg_commitment`` (reference:
@@ -419,36 +412,36 @@ class JaxBackend(GoldenBackend):
         return proof_pt, L.limbs_to_int(y_host)
 
     def _root_index(self, settings) -> dict:
-        key = ("roots_idx", id(settings))
-        if key not in self._ctx:
-            self._ctx[key] = {w: i for i, w in enumerate(settings.roots_of_unity)}
-        return self._ctx[key]
+        cache = settings._device_cache
+        if "roots_idx" not in cache:
+            cache["roots_idx"] = {w: i for i, w in enumerate(settings.roots_of_unity)}
+        return cache["roots_idx"]
 
     def _bary_native_ctx(self, settings):
         """Native host barycentric context for this setup, or None."""
-        key = ("bary_native", id(settings))
-        if key not in self._ctx:
-            self._ctx[key] = hostcrypto.bary_ctx(settings.roots_of_unity)
-        return self._ctx[key]
+        cache = settings._device_cache
+        if "bary_native" not in cache:
+            cache["bary_native"] = hostcrypto.bary_ctx(settings.roots_of_unity)
+        return cache["bary_native"]
 
     def _verify_native_ctx(self, settings):
         """Fused native batch-verification context, or None."""
-        key = ("verify_native", id(settings))
-        if key not in self._ctx:
+        cache = settings._device_cache
+        if "verify_native" not in cache:
             from ..golden import curve as gcurve
             from ..presets import (
                 FIAT_SHAMIR_PROTOCOL_DOMAIN,
                 RANDOM_CHALLENGE_KZG_BATCH_DOMAIN,
             )
 
-            self._ctx[key] = hostcrypto.verify_ctx(
+            cache["verify_native"] = hostcrypto.verify_ctx(
                 settings.roots_of_unity,
                 settings.g2_values[1],
                 gcurve.G2_GENERATOR,
                 FIAT_SHAMIR_PROTOCOL_DOMAIN,
                 RANDOM_CHALLENGE_KZG_BATCH_DOMAIN,
             )
-        return self._ctx[key]
+        return cache["verify_native"]
 
     def _gen_table(self):
         if "gen_table" not in self._ctx:
@@ -460,12 +453,12 @@ class JaxBackend(GoldenBackend):
     # -- polynomial math (device) --------------------------------------------
 
     def _fr_ctx(self, settings):
-        key = id(settings)
-        if key not in self._ctx:
+        cache = settings._device_cache
+        if "fr_ctx" not in cache:
             from ..ops import protocol_kernels as pk
 
-            self._ctx[key] = pk.FrContext.build(settings)
-        return self._ctx[key]
+            cache["fr_ctx"] = pk.FrContext.build(settings)
+        return cache["fr_ctx"]
 
     def barycentric_eval(self, settings, evals, x: int) -> int:
         from ..ops import protocol_kernels as pk
@@ -493,13 +486,10 @@ class JaxBackend(GoldenBackend):
         return msm_ops.msm_fixed_base(ctx, scalars)
 
     def _msm_ctx(self, settings):
-        key = ("msm", id(settings))
-        if key not in self._ctx:
+        cache = settings._device_cache
+        if "msm" not in cache:
             from ..ops import msm as msm_ops
 
             n = settings.preset.field_elements_per_blob
-            if n < 8:
-                self._ctx[key] = None
-            else:
-                self._ctx[key] = msm_ops.MsmContext.build(settings)
-        return self._ctx[key]
+            cache["msm"] = None if n < 8 else msm_ops.MsmContext.build(settings)
+        return cache["msm"]

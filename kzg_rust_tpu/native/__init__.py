@@ -82,7 +82,9 @@ def _load():
             if lib.kzg_native_abi_version() != _ABI_VERSION:
                 _load_failed = True
                 return None
-        except OSError:
+        except Exception:
+            # missing file (OSError), missing symbol (AttributeError), or
+            # any other probe failure: fall back to the pure-Python path
             _load_failed = True
             return None
         _lib = lib
@@ -268,6 +270,8 @@ def g1_lincomb_naive(points, scalars):
     """Runtime-base lincomb, reference semantics (utils.rs:329-342)."""
     lib = _load()
     n = len(points)
+    if n != len(scalars):
+        raise ValueError("g1_lincomb: points/scalars length mismatch")
     if n == 0:
         return None
     bufs, infs, sb = [], [], []
@@ -335,7 +339,7 @@ class BaryCtx:
             ctypes.c_void_p(self._handle), blobs_bytes, nb, xs_b, ys
         )
         if rc == 2:
-            raise BadArgs("bytes_to_bls_field: Invalid Bytes32")
+            raise BadArgs("bytes_to_bls_field Invalid Bytes32")
         if rc:
             raise BadArgs(f"barycentric evaluation failed (code {rc})")
         out = bytes(ys)
@@ -369,8 +373,8 @@ class VerifyCtx:
 
     _ERRORS = {
         1: "validate_kzg_g1: malformed commitment encoding",
-        2: "bytes_to_bls_field: Invalid Bytes32",
-        3: "bytes_to_bls_field: Invalid Bytes32",
+        2: "bytes_to_bls_field Invalid Bytes32",
+        3: "bytes_to_bls_field Invalid Bytes32",
         4: "fr_batch_inv: zero input",
         5: "validate_kzg_g1: malformed proof encoding",
         6: "validate_kzg_g1 not in right subgroup",
@@ -469,8 +473,8 @@ class ProverCtx:
 
     _ERRORS = {
         1: "validate_kzg_g1: malformed commitment encoding",
-        2: "bytes_to_bls_field: Invalid Bytes32",
-        3: "bytes_to_bls_field: Invalid Bytes32",
+        2: "bytes_to_bls_field Invalid Bytes32",
+        3: "bytes_to_bls_field Invalid Bytes32",
         4: "fr_batch_inv: zero input",
         6: "validate_kzg_g1 not in right subgroup",
     }

@@ -94,6 +94,11 @@ def compute_blob_kzg_proof(
     settings: KzgSettings, blob: bytes, commitment_bytes: bytes, backend
 ) -> KzgProof:
     """reference: kzg.rs:533-544."""
+    fused = getattr(backend, "compute_blob_proof_pipeline", None)
+    if fused is not None:
+        out = fused(settings, blob, commitment_bytes)
+        if out is not NotImplemented:
+            return KzgProof(serde.bytes_from_g1(out))
     # compute_challenge validates the commitment before hashing.
     challenge = serde.compute_challenge(settings.preset, blob, commitment_bytes)
     pipe = getattr(backend, "compute_kzg_proof_pipeline", None)
