@@ -41,12 +41,17 @@ def _cache_dir() -> str:
 
 
 def _build() -> str | None:
-    """Compile the shared object into the cache dir, keyed by source hash."""
-    if not os.path.exists(_SRC):
+    """Compile the shared object into the cache dir, keyed by source hash.
+    Best-effort: any failure (missing source/compiler, unwritable cache
+    dir) returns None and the golden path takes over."""
+    try:
+        if not os.path.exists(_SRC):
+            return None
+        with open(_SRC, "rb") as fh:
+            digest = hashlib.sha256(fh.read()).hexdigest()[:16]
+        out = os.path.join(_cache_dir(), f"libkzg_native-{digest}.so")
+    except OSError:
         return None
-    with open(_SRC, "rb") as fh:
-        digest = hashlib.sha256(fh.read()).hexdigest()[:16]
-    out = os.path.join(_cache_dir(), f"libkzg_native-{digest}.so")
     if os.path.exists(out):
         return out
     tmp = out + f".tmp{os.getpid()}"
