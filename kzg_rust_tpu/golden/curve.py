@@ -438,6 +438,7 @@ def g1_lincomb_pippenger(points, scalars, window: int = 8):
     if n < 8:
         # reference: utils.rs:369-371 falls back to naive below 8 points
         return g1_lincomb_naive(points, scalars)
+    scalars = [s % R for s in scalars]  # same semantics as the naive path
     nbits = 255
     nwin = (nbits + window - 1) // window
     inf = (1, 1, 0)

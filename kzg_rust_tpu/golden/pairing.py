@@ -97,14 +97,11 @@ def miller_loop(p_g1, q_g2):
     return f.fp12_conj(fx)
 
 
-_ABS_X_BITS = [(BLS_X >> i) & 1 for i in range(BLS_X.bit_length() - 2, -1, -1)]
-
-
 def _exp_by_x(m):
     """m^x for cyclotomic m (x = -|BLS_X|): square-and-multiply by |x| with
     Granger-Scott squarings, then conjugate (the cyclotomic inverse)."""
     r = m
-    for bit in _ABS_X_BITS:
+    for bit in _X_BITS:
         r = f.fp12_cyclo_sqr(r)
         if bit:
             r = f.fp12_mul(r, m)

@@ -28,12 +28,17 @@ from ..ops import msm as M
 POINTS_AXIS = "points"
 
 
-def default_mesh(n_devices: int | None = None) -> Mesh:
-    """A 1-D mesh over the point axis (MSM 'tensor parallelism')."""
+def _mesh(axis: str, n_devices: int | None = None) -> Mesh:
+    """A 1-D mesh of the first n_devices visible devices over ``axis``."""
     devs = jax.devices()
     if n_devices is not None:
         devs = devs[:n_devices]
-    return Mesh(np.array(devs), (POINTS_AXIS,))
+    return Mesh(np.array(devs), (axis,))
+
+
+def default_mesh(n_devices: int | None = None) -> Mesh:
+    """A 1-D mesh over the point axis (MSM 'tensor parallelism')."""
+    return _mesh(POINTS_AXIS, n_devices)
 
 
 class ShardedMsmContext:
@@ -76,10 +81,8 @@ def _sharded_msm_kernel(table, digits, fold: int, mesh: Mesh):
     def local(table_shard, digits_shard):
         partial_pt = M._msm_core(table_shard, digits_shard, fold)
         gathered = jax.lax.all_gather(partial_pt, POINTS_AXIS)  # [D, 3, l]
-        d = gathered.shape[0]
-        if d == 1:
-            return gathered[0]
-        return C.fold_reduce(gathered, d)
+        # tree_reduce, not fold_reduce: mesh sizes need not be powers of two
+        return C.tree_reduce(gathered)
 
     fn = shard_map(
         local,
@@ -111,10 +114,7 @@ def domain_mesh(n_devices: int | None = None) -> Mesh:
     """A 1-D mesh over the FIELD_ELEMENTS_PER_BLOB evaluation-domain axis
     (SURVEY.md section 5 long-context analog: the reference's 4096-element
     loops, kzg.rs:353-378, sharded instead of sequential)."""
-    devs = jax.devices()
-    if n_devices is not None:
-        devs = devs[:n_devices]
-    return Mesh(np.array(devs), (DOMAIN_AXIS,))
+    return _mesh(DOMAIN_AXIS, n_devices)
 
 
 @partial(jax.jit, static_argnums=(3, 4))
@@ -186,10 +186,7 @@ def blobs_mesh(n_devices: int | None = None) -> Mesh:
     kzg.rs:671-683, "Potentially paralellizable"); here each device handles
     a blob shard and the RLC partial sums ride one all_gather over ICI.
     """
-    devs = jax.devices()
-    if n_devices is not None:
-        devs = devs[:n_devices]
-    return Mesh(np.array(devs), (BLOBS_AXIS,))
+    return _mesh(BLOBS_AXIS, n_devices)
 
 
 @partial(jax.jit, static_argnums=(3, 4))

@@ -104,7 +104,7 @@ def _points_from_cache(path):
     return g1, g2
 
 
-def _validate_cached_points(g1_values, g2_values) -> bool:
+def _validate_cached_points(g1_values, g2_values, n1: int, n2: int) -> bool:
     """Revalidate a cache hit before trusting it.
 
     The filename hash keys on the *inputs*, not the file contents, so a
@@ -116,6 +116,8 @@ def _validate_cached_points(g1_values, g2_values) -> bool:
     from .golden import curve as gc
 
     try:
+        if len(g1_values) != n1 or len(g2_values) != n2:
+            return False
         with timed("load_trusted_setup.cache_validate", n=len(g1_values)):
             for p in g1_values:
                 if p is not None and not gc.g1_is_on_curve(p):
@@ -206,7 +208,7 @@ def load_trusted_setup(
     if os.environ.get("KZG_TPU_CACHE_DIR", True):
         cache_path = _setup_cache_path(g1_bytes, g2_bytes, preset)
         cached = _points_from_cache(cache_path)
-        if cached is not None and _validate_cached_points(*cached):
+        if cached is not None and _validate_cached_points(*cached, n1, n2):
             g1_cached, g2_cached = cached
             logger.debug(
                 "load_trusted_setup cache=hit n1=%d n2=%d path=%s", n1, n2, cache_path

@@ -31,6 +31,7 @@ def bit_reversal_permutation(values: list, n: int) -> list:
         or n & (n - 1) != 0
         or n == 0
         or n.bit_length() - 1 == 0
+        or len(values) != n
     ):
         raise BadArgs("bit_reversal_permutation: invalid args")
     return [values[reverse_bits(i, n)] for i in range(n)]
