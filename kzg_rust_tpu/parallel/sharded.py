@@ -64,7 +64,15 @@ class ShardedMsmContext:
             local_total = M.NUM_WINDOWS * (n // d)
             fold = min(8192, 1 << (local_total.bit_length() - 1))
         points = C.points_to_jacobian(points_affine)
-        table = M._build_table_kernel(jnp.asarray(points))
+        # Shard the input points first and build the window table under a
+        # sharded out-sharding: the build is pointwise along the point axis,
+        # so each chip materializes only its table shard (peak HBM ~ 1/D of
+        # the full table) instead of building everything on device 0 and
+        # resharding after.
+        psharding = NamedSharding(mesh, P(POINTS_AXIS, None, None))
+        pts_dev = jax.device_put(jnp.asarray(points), psharding)
+        tsharding = NamedSharding(mesh, P(None, None, POINTS_AXIS, None, None))
+        table = jax.jit(M._build_table_kernel, out_shardings=tsharding)(pts_dev)
         return cls(n, jax.block_until_ready(table), fold, mesh)
 
     @classmethod
