@@ -1595,6 +1595,87 @@ static Fp12 miller_loop(const G1Aff &p, const G2Aff &q) {
   return fp12_conj(f);
 }
 
+// Precomputed Miller-loop lines for a FIXED G2 argument.  Every pairing on
+// the verification paths has at least one G2 input that is a trusted-setup
+// constant ([s]G2 or the G2 generator, kzg.rs:417-425, :625), so the whole
+// G2 side of the Miller loop - the T-point chain and the line coefficients -
+// can be evaluated once at setup load.  What remains per pairing is the
+// shared squaring chain plus one sparse line multiplication per step, with
+// only the two P-dependent scalings (by p.x / p.y) done at eval time.
+struct LinePre {
+  Fp2 a;  // scaled by p.y at eval -> c00
+  Fp2 b;  // P-independent        -> c11
+  Fp2 c;  // scaled by p.x at eval -> c12
+};
+
+// Same step schedule as miller_loop (doubling line each bit, chord line on
+// set bits), coefficients stored pre-scaling.
+static std::vector<LinePre> precompute_g2_lines(const G2Aff &q) {
+  std::vector<LinePre> lines;
+  if (q.inf) return lines;
+  lines.reserve(70);
+  G2Jac t = {q.x, q.y, FP2_ONE_C};
+  int nbits = 64 - __builtin_clzll(BLS_X);
+  for (int i = nbits - 2; i >= 0; --i) {
+    Fp2 xx = fp2_sqr(t.x);
+    Fp2 yz = fp2_mul(t.y, t.z);
+    Fp2 two_yz2 = fp2_double(fp2_mul(yz, t.z));
+    Fp2 three_xx = fp2_add(fp2_double(xx), xx);
+    LinePre d;
+    d.a = fp2_mul_xi(two_yz2);
+    d.b = fp2_sub(fp2_mul(three_xx, t.x),
+                  fp2_double(fp2_mul(fp2_sqr(t.y), t.z)));
+    d.c = fp2_neg(fp2_mul(three_xx, t.z));
+    lines.push_back(d);
+    t = g2_rcb_double(t);
+    if ((BLS_X >> i) & 1) {
+      Fp2 nn = fp2_sub(fp2_mul(q.y, t.z), t.y);
+      Fp2 dd = fp2_sub(fp2_mul(q.x, t.z), t.x);
+      LinePre a;
+      a.a = fp2_mul_xi(dd);
+      a.b = fp2_sub(fp2_mul(nn, q.x), fp2_mul(q.y, dd));
+      a.c = fp2_neg(nn);
+      lines.push_back(a);
+      t = g2_rcb_madd(t, q);
+    }
+  }
+  return lines;
+}
+
+static inline Fp12 mul_by_pre_line(const Fp12 &f, const LinePre &L,
+                                   const G1Aff &p) {
+  return fp12_mul_by_line(f, fp2_mul_fp(L.a, p.y), L.b,
+                          fp2_mul_fp(L.c, p.x));
+}
+
+// Dual Miller loop over two fixed-G2 line tables with a SHARED squaring
+// chain: returns conj(f_{x,Q1}(P1) * f_{x,Q2}(P2)), equal to
+// fp12_mul(miller_loop(p1,q1), miller_loop(p2,q2)) since conjugation is
+// multiplicative.  A null table (or infinite P) contributes 1.
+static Fp12 miller_loop_lines2(const G1Aff &p1,
+                               const std::vector<LinePre> *l1,
+                               const G1Aff &p2,
+                               const std::vector<LinePre> *l2) {
+  const bool use1 = l1 && !l1->empty() && !p1.inf;
+  const bool use2 = l2 && !l2->empty() && !p2.inf;
+  Fp12 f = FP12_ONE_C;
+  if (!use1 && !use2) return f;
+  size_t k = 0;
+  int nbits = 64 - __builtin_clzll(BLS_X);
+  for (int i = nbits - 2; i >= 0; --i) {
+    f = fp12_sqr(f);
+    if (use1) f = mul_by_pre_line(f, (*l1)[k], p1);
+    if (use2) f = mul_by_pre_line(f, (*l2)[k], p2);
+    ++k;
+    if ((BLS_X >> i) & 1) {
+      if (use1) f = mul_by_pre_line(f, (*l1)[k], p1);
+      if (use2) f = mul_by_pre_line(f, (*l2)[k], p2);
+      ++k;
+    }
+  }
+  return fp12_conj(f);
+}
+
 // m^x (x < 0) for cyclotomic m.
 static Fp12 exp_by_x(const Fp12 &m) {
   Fp12 r = m;
@@ -4173,6 +4254,9 @@ struct VerifyCtx {
   Fr inv_n;
   G2Aff g2_s;    // trusted-setup [s]G2 (g2_values[1])
   G2Aff g2_gen;  // G2 generator
+  // Miller-loop line tables for the two fixed G2 points (built once at
+  // setup load; every verification pairing uses one of these).
+  std::vector<LinePre> lines_s, lines_gen;
   u8 fs_domain[16], rc_domain[16];
 #ifdef KZG_HAVE_IFMA
   Fr52Domain dom52;
@@ -4215,6 +4299,8 @@ void *kzg_verify_ctx_new(u32 n, const u8 *roots_be, const u8 *g2s_bytes,
   }
   memcpy(ctx->fs_domain, fs_domain, 16);
   memcpy(ctx->rc_domain, rc_domain, 16);
+  ctx->lines_s = precompute_g2_lines(ctx->g2_s);
+  ctx->lines_gen = precompute_g2_lines(ctx->g2_gen);
 #ifdef KZG_HAVE_IFMA
   fr52_domain_build(ctx->dom52, ctx->roots);
 #endif
@@ -4493,13 +4579,11 @@ int kzg_verify_blob_batch_ptrs(void *ctx_p, const u8 *const *blob_ptrs,
   G1Aff lhs_a = g1_to_aff(lhs), rhs_a = g1_to_aff(rhs);
 
   // e(lhs, [s]G2) == e(rhs, G2gen)  (pairings_verify, utils.rs:189-214).
+  // Both G2 arguments are setup constants: one shared-squaring dual Miller
+  // loop over the precomputed line tables, then one final exponentiation.
   if (!lhs_a.inf) lhs_a.y = fp_neg(lhs_a.y);
-  Fp12 f1 = FP12_ONE_C, f2 = FP12_ONE_C;
-  parallel_for(2, [&](int i) {
-    if (i == 0 && !lhs_a.inf) f1 = miller_loop(lhs_a, ctx->g2_s);
-    if (i == 1 && !rhs_a.inf) f2 = miller_loop(rhs_a, ctx->g2_gen);
-  });
-  *out_ok = fp12_is_one(final_exponentiation(fp12_mul(f1, f2))) ? 1 : 0;
+  Fp12 f = miller_loop_lines2(lhs_a, &ctx->lines_s, rhs_a, &ctx->lines_gen);
+  *out_ok = fp12_is_one(final_exponentiation(f)) ? 1 : 0;
   if (prof) {
     double t_pair = now_ms();
     fprintf(stderr,
@@ -5118,36 +5202,25 @@ int kzg_prover_blob_proof(void *ctx_p, const u8 *blob, const u8 *comm48,
 // kzg.rs:409-426; pairings_verify, utils.rs:189-214).  z/y standard domain.
 static int verify_pair_eq(VerifyCtx *ctx, const G1Aff &C, const Fr &z_std,
                           const Fr &y_std, const G1Aff &P, int *out_ok) {
+  // The reference checks e(C - [y]G1, G2gen) == e(proof, [s]G2 - [z]G2gen)
+  // (kzg.rs:417-425).  By bilinearity this is exactly
+  //   e(-(C - [y]G1 + [z]proof), G2gen) * e(proof, [s]G2) == 1,
+  // which moves the z-multiple from G2 to G1 (one cheap G1 scalar mul
+  // replaces a ~3x costlier G2 one) and leaves both G2 arguments fixed, so
+  // both Miller loops run over the setup's precomputed line tables.
   u8 sc[32];
-  // x_minus_z = [s]G2 - z*G2gen (kzg.rs:417-418)
-  to_be<4>(z_std.v, 32, sc);
-  G2Jac zg;
-  if (g2_is_canonical_gen(ctx->g2_gen)) {
-    zg = g2_mul_gen(sc);
-  } else {
-    G2Jac gg = ctx->g2_gen.inf
-                   ? g2_jac_inf()
-                   : G2Jac{ctx->g2_gen.x, ctx->g2_gen.y, FP2_ONE_C};
-    zg = g2_mul_jac(gg, sc, 32);
-  }
-  zg.y = fp2_neg(zg.y);
-  G2Jac sj = ctx->g2_s.inf ? g2_jac_inf()
-                           : G2Jac{ctx->g2_s.x, ctx->g2_s.y, FP2_ONE_C};
-  G2Aff x_minus_z = g2_to_aff(g2_add_jac(sj, zg));
-  // p_minus_y = C - [y]G1 (kzg.rs:421-422)
   to_be<4>(y_std.v, 32, sc);
   G1Jac yg = g1_mul_gen(sc);
   yg.y = fp_neg(yg.y);
-  G1Aff p_minus_y = g1_to_aff(g1_add_jac(g1_from_aff(C), yg));
-  // e(-(C - yG), G2gen) * e(proof, s - zG2) == 1
-  G1Aff a1 = p_minus_y;
+  G1Jac acc = g1_add_jac(g1_from_aff(C), yg);  // C - yG
+  if (!P.inf) {
+    to_be<4>(z_std.v, 32, sc);
+    acc = g1_add_jac(acc, g1_mul_jac(g1_from_aff(P), sc, 32));  // + z*proof
+  }
+  G1Aff a1 = g1_to_aff(acc);
   if (!a1.inf) a1.y = fp_neg(a1.y);
-  Fp12 f1 = FP12_ONE_C, f2 = FP12_ONE_C;
-  parallel_for(2, [&](int i) {
-    if (i == 0 && !a1.inf && !ctx->g2_gen.inf) f1 = miller_loop(a1, ctx->g2_gen);
-    if (i == 1 && !P.inf && !x_minus_z.inf) f2 = miller_loop(P, x_minus_z);
-  });
-  *out_ok = fp12_is_one(final_exponentiation(fp12_mul(f1, f2))) ? 1 : 0;
+  Fp12 f = miller_loop_lines2(a1, &ctx->lines_gen, P, &ctx->lines_s);
+  *out_ok = fp12_is_one(final_exponentiation(f)) ? 1 : 0;
   return 0;
 }
 
