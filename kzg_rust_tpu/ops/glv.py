@@ -1,0 +1,106 @@
+"""GLV scalar decomposition for BLS12-381 G1 (host-side recoding).
+
+The verification lincombs multiply *runtime* points (commitments, proofs) by
+255-bit scalars (reference: src/kzg.rs:601-616, src/utils.rs:329-342).  On
+TPU the cost of a runtime-point multi-scalar multiply is dominated by the
+strictly sequential doubling chain that builds the window bases ``4^j * P``;
+its depth equals the scalar bit-length.  BLS12-381's G1 carries the cube-root
+endomorphism ``phi(x, y) = (beta * x, y) = [lam] (x, y)`` with
+``lam = r - z^2`` (z the BLS parameter), which lets every scalar split as
+
+    k = k1 + k2 * lam  (mod r),   |k1|, |k2| < 2^128
+
+halving the chain depth: ``k * P = k1 * P + k2 * phi(P)`` and the bases of
+``phi(P)`` are just the bases of ``P`` with X scaled by beta (phi commutes
+with doubling).  The split is exact integer lattice reduction - the outputs
+recombine to k mod r bit-exactly, so protocol results are unchanged.
+
+Everything here is host-side numpy/int math on tiny inputs (a few hundred
+scalars per batch); the heavy lifting stays in the device kernels.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ..golden.field import R
+
+# BLS parameter z (the Miller-loop constant is -z; z itself is positive here).
+Z_BLS = 0xD201000000010000
+Z2 = Z_BLS * Z_BLS
+# Eigenvalue of phi: lam = -z^2 mod r (see golden/curve.py g1_in_subgroup;
+# (z^2)^2 - z^2 + 1 == r so lam^2 + lam + 1 == 0 mod r).
+LAM = R - Z2
+
+# Lattice basis for {(a, b) : a + b*lam == 0 mod r}:
+#   v1 = (z^2, 1)       since z^2 + lam == 0 (mod r)
+#   v2 = (-1, z^2 - 1)  since -1 + (z^2-1)*lam == -r == 0 (mod r)
+# det(v1, v2) = z^2(z^2-1) + 1 = r.
+assert (Z2 + LAM) % R == 0
+assert (-1 + (Z2 - 1) * LAM) % R == 0
+
+WINDOW_BITS = 2
+# |k1|,|k2| <= ~2^127.5; 65 base-4 digits cover 130 bits, +1 for the signed
+# recoding carry.
+NUM_WINDOWS_GLV = 66
+
+
+def decompose(k: int) -> tuple[int, int]:
+    """k (canonical mod r) -> (k1, k2) signed ints with k1 + k2*lam == k
+    (mod r) and |k1|, |k2| < 2^128 (standard Babai rounding on the lattice
+    basis above)."""
+    k = k % R
+    # (k, 0) = c1*v1 + c2*v2 over Q, with c1 = k(z^2-1)/r, c2 = -k/r.
+    m1 = (k * (Z2 - 1) + R // 2) // R
+    m2 = -((k + R // 2) // R)
+    k1 = k - m1 * Z2 + m2
+    k2 = -m1 - m2 * (Z2 - 1)
+    return k1, k2
+
+
+def decompose_batch(scalars) -> tuple[list[int], list[int]]:
+    k1s, k2s = [], []
+    for s in scalars:
+        a, b = decompose(int(s))
+        k1s.append(a)
+        k2s.append(b)
+    return k1s, k2s
+
+
+def recode_base4_signed(scalars) -> np.ndarray:
+    """Signed ints |k| < 2^130 -> [NUM_WINDOWS_GLV, n] int8 digits in
+    {-2,-1,0,1,2} with  k = sum_j d_j * 4^j  exactly.
+
+    Standard signed-window recoding on |k| (digit > 2 borrows from the next
+    window), then the global sign folds into the digits.
+    """
+    n = len(scalars)
+    signs = np.array([1 if int(s) >= 0 else -1 for s in scalars], dtype=np.int16)
+    mags = [abs(int(s)) for s in scalars]
+    buf = b"".join(m.to_bytes(17, "little") for m in mags)  # 136 bits >= 132
+    by = np.frombuffer(buf, dtype=np.uint8).reshape(n, 17)
+    # 4 base-4 digits per byte.
+    dig = np.zeros((n, 68), dtype=np.int16)
+    for p in range(4):
+        dig[:, p::4] = (by >> (2 * p)) & 0x3
+    dig = dig[:, :NUM_WINDOWS_GLV]
+    if np.any(dig[:, NUM_WINDOWS_GLV - 2 :] > 2):  # pragma: no cover - bound
+        raise ValueError("scalar exceeds the GLV recoding range")
+    out = np.zeros((n, NUM_WINDOWS_GLV), dtype=np.int8)
+    carry = np.zeros(n, dtype=np.int16)
+    for j in range(NUM_WINDOWS_GLV):
+        d = dig[:, j] + carry
+        over = (d > 2).astype(np.int16)
+        carry = over
+        out[:, j] = (d - 4 * over).astype(np.int8)
+    if carry.any():  # pragma: no cover - |k| < 4^65 guarantees absorption
+        raise ValueError("recoding carry out of range")
+    out *= signs[:, None].astype(np.int8)
+    return np.ascontiguousarray(out.T)  # [66, n]
+
+
+def recode_glv(scalars) -> np.ndarray:
+    """Canonical scalars mod r -> [NUM_WINDOWS_GLV, 2n] int8 digit matrix:
+    columns [0, n) are the k1 halves, [n, 2n) the k2 (phi) halves."""
+    k1s, k2s = decompose_batch(scalars)
+    return recode_base4_signed(k1s + k2s)

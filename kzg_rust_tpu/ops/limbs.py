@@ -432,22 +432,48 @@ def from_mont(spec: FieldSpec, a):
 def mont_pow_const(spec: FieldSpec, a, exponent: int):
     """a^e (Montgomery in/out) for a trace-time-constant exponent.
 
-    Square-and-multiply driven by a constant bit table inside a fori_loop so
-    the compiled graph stays one-body-sized even for 381-bit exponents.
+    4-bit fixed-window exponentiation: precompute a^0..a^15 once (14 muls),
+    then per window 4 squarings + ONE table-gather multiply inside a
+    fori_loop - ~5 sequential muls per 4 bits versus 8 for double-and-add,
+    a ~1.55x cut in the sequential-mul depth that dominates Fermat
+    inversion (r-2) and the decompression sqrt ((p+1)/4).  The compiled
+    graph stays one-body-sized; the digit table is a trace-time constant.
     """
+    one = jnp.broadcast_to(jnp.asarray(spec.one_mont), a.shape)
     if exponent == 0:
-        return jnp.broadcast_to(jnp.asarray(spec.one_mont), a.shape)
-    bits = [int(c) for c in bin(exponent)[2:]]
-    bits_arr = jnp.asarray(np.array(bits, dtype=np.uint32))
+        return one
+    if exponent < 16:  # tiny exponents: plain double-and-add, no table
+        bits = [int(c) for c in bin(exponent)[2:]]
+        acc = a
+        for b in bits[1:]:
+            acc = mont_sqr(spec, acc)
+            if b:
+                acc = mont_mul(spec, acc, a)
+        return acc
+
+    digits = []
+    e = exponent
+    while e:
+        digits.append(e & 0xF)
+        e >>= 4
+    digits.reverse()  # MSB-first, leading digit nonzero
+    dig_arr = jnp.asarray(np.array(digits, dtype=np.uint32))
+
+    # Table a^0..a^15: [16, ...a.shape] (one add-shaped scan, 15 muls).
+    def tstep(acc, _):
+        nxt = mont_mul(spec, acc, a)
+        return nxt, acc
+
+    _, table = lax.scan(tstep, one, None, length=16)
 
     def body(i, acc):
-        acc = mont_sqr(spec, acc)
-        mul = mont_mul(spec, acc, a)
-        return jnp.where((bits_arr[i] != 0)[..., None], mul, acc)
+        for _ in range(4):
+            acc = mont_sqr(spec, acc)
+        sel = table[dig_arr[i]]
+        return mont_mul(spec, acc, sel)
 
-    # Start from mont(1) and fold in all bits (including the leading one).
-    init = jnp.broadcast_to(jnp.asarray(spec.one_mont), a.shape)
-    return lax.fori_loop(0, len(bits), body, init)
+    init = table[dig_arr[0]]
+    return lax.fori_loop(1, len(digits), body, init)
 
 
 def mont_inv(spec: FieldSpec, a):

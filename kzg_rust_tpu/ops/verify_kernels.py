@@ -2,17 +2,36 @@
 
 The reference verifies batches with a per-blob host loop plus three naive
 G1 lincombs and per-point subgroup checks (reference: src/kzg.rs:579-693,
-src/utils.rs:282-342).  Here every per-blob / per-point quantity is one
-batched, branch-free device program:
+src/utils.rs:282-342).  Here the whole path is two device programs shaped
+for a vector machine:
 
-* subgroup membership for all parsed points in one scan-based kernel (the
-  GLV check phi(P) == [-z^2]P, a 128-bit ladder instead of 255-bit [r]P);
-* the three verification lincombs + per-blob generator multiples fused into
-  a single jitted program that returns the two pairing inputs;
-* barycentric evaluation vectorized over the blob axis.
+Stage 1 — two independent programs over the raw inputs (dispatched async so
+the host's Fiat-Shamir SHA-256 work overlaps the device's sequential chain):
 
-Scalars enter as bit/digit matrices recoded on host with numpy (cheap,
-byte-level); points enter as Jacobian Montgomery limb tensors.
+``batch_points_kernel`` (needs only the compressed points):
+  * G1 decompression of all commitments/proofs on device (Fp sqrt via
+    x^((p+1)/4); replaces the blst uncompress FFI, reference utils.rs:282-310);
+  * ONE shared doubling chain producing the window bases ``4^j * P`` for
+    every parsed point — the only sequential dependency in the whole
+    verification, kept at full point-batch width;
+  * GLV subgroup checks ``phi(P) == -[z^2]P`` with ``[z^2]P`` assembled from
+    those same bases (constant digits - no ladder).
+
+``bary_batch_from_bytes_kernel`` (needs the challenges from the host):
+  * fused blob ingest + canonicality + batched barycentric evaluation.
+
+Stage 2 (``batch_stage2_kernel``) — after the host derives the Fiat-Shamir
+r-powers from the stage-1 evaluations:
+  * every verification lincomb (reference kzg.rs:601-616) as ONE wide
+    gather/select/tree-reduce over the precomputed bases, with scalars
+    GLV-split and recoded to signed base-4 digits on host
+    (:mod:`kzg_rust_tpu.ops.glv`) — sequential depth O(log) instead of the
+    255-step double-and-add ladders this module used in round 1;
+  * the per-blob generator multiples folded into a single fixed-base
+    multiply: sum_i r^i (C_i - [y_i]G) == sum_i r^i C_i - [sum_i r^i y_i]G.
+
+Scalars enter as tiny int8 digit matrices recoded on host; points enter
+compressed (48 bytes each) and never cross the link again.
 """
 
 from __future__ import annotations
@@ -27,101 +46,265 @@ from jax import lax
 
 from ..golden.field import P as _P
 from . import curve as C
+from . import glv
 from . import limbs as L
 from . import msm as M
 from .fields import FP, FR
 
-NBITS = 255
+NUM_WINDOWS = glv.NUM_WINDOWS_GLV  # 66 base-4 windows per 128-bit GLV half
 
-# GLV constants (see golden/curve.py g1_in_subgroup): beta a cube root of
-# unity in Fp, z^2 the 128-bit eigenvalue magnitude.
+# GLV endomorphism constant: beta a primitive cube root of unity in Fp,
+# stored in Montgomery form (see golden/curve.py g1_in_subgroup).
 _BETA_INT = pow(2, (_P - 1) // 3, _P)
-_Z2 = 0xD201000000010000**2
-_Z2_BITS = [int(b) for b in bin(_Z2)[2:]]  # MSB first, 128 bits
+_BETA_MONT = L.int_to_limbs(
+    FP.nlimbs, (_BETA_INT * ((1 << (L.BASE_BITS * FP.nlimbs)) % _P)) % _P
+)
+# Signed base-4 digits of z^2 (the subgroup-check scalar), a host constant.
+_Z2_DIGITS = glv.recode_base4_signed([glv.Z2])[:, 0]  # [66] int8
 
-
-def scalars_to_bits(scalars, nbits: int = NBITS) -> np.ndarray:
-    """List of ints -> [nbits, n] uint8 bit matrix, MSB first (row 0 is the
-    top bit), ready for an MSB-first double-and-add scan."""
-    n = len(scalars)
-    nbytes = (nbits + 7) // 8
-    buf = b"".join(int(s).to_bytes(nbytes, "big") for s in scalars)
-    by = np.frombuffer(buf, dtype=np.uint8).reshape(n, nbytes)
-    bits = np.unpackbits(by, axis=1)[:, -nbits:]  # [n, nbits] MSB first
-    return np.ascontiguousarray(bits.T)
-
-
-def _dbl_add_ladder(points, bits):
-    """MSB-first double-and-add: [..., n, 3, l] points, [nbits, n] bits ->
-    per-point scalar multiples [n, 3, l].  One scan, two point-op shapes."""
-
-    def step(acc, b):
-        acc = C.jacobian_double(acc)
-        added = C.jacobian_add(acc, points)
-        return C.point_select(b != 0, added, acc), None
-
-    init = C.jacobian_infinity((points.shape[0],))
-    return lax.scan(step, init, bits)[0]
+# Curve constant b = 4 in Montgomery form (for x^3 + 4 during uncompression).
+_B4_MONT = L.int_to_limbs(FP.nlimbs, (4 * ((1 << (L.BASE_BITS * FP.nlimbs)) % _P)) % _P)
+# (p+1)/2 as limbs: y is "lexicographically largest" iff y >= (p+1)/2.
+_HALF_P1 = L.int_to_limbs(FP.nlimbs, (_P + 1) // 2)
 
 
 # ---------------------------------------------------------------------------
-# Batched subgroup check
+# Device G1 decompression (reference: utils.rs:282-310 via blst_p1_uncompress)
 # ---------------------------------------------------------------------------
 
 
-def _subgroup_check(points):
-    """[n, 3, l] projective Montgomery points (already on-curve) -> bool [n].
+def g1_uncompress_points(comp):
+    """[N, 48] uint8 ZCash-compressed G1 -> ([N, 3, l] Montgomery projective
+    points, ok [N] bool).  Matches golden ``g1_uncompress`` bit-exactly:
+    compression bit required, canonical x < p, on-curve (sqrt must exist),
+    strict infinity encoding (0xc0 then zeros), sign = y > (p-1)/2.
+    Invalid rows yield ok=False (point contents are unspecified)."""
+    flags = comp[:, 0].astype(jnp.uint32)
+    comp_bit = (flags & 0x80) != 0
+    inf_bit = (flags & 0x40) != 0
+    sign_bit = (flags & 0x20) != 0
+    first = (flags & 0x1F).astype(jnp.uint8)
+    be = jnp.concatenate([first[:, None], comp[:, 1:]], axis=1)
+    x = L.bytes_le_to_limbs(FP.nlimbs, be[:, ::-1])  # [N, l]
+    x_ok = ~L.geq_mod(FP, x)
+    # Clamp out-of-range x to 0 so downstream Montgomery ops stay in range
+    # (the row is already marked invalid; its point is never trusted).
+    x = jnp.where(x_ok[:, None], x, jnp.zeros_like(x))
+    xm = L.to_mont(FP, x)
+    rhs = L.add_mod(FP, L.mont_mul(FP, xm, L.mont_sqr(FP, xm)), jnp.asarray(_B4_MONT))
+    ym = L.mont_pow_const(FP, rhs, (_P + 1) // 4)
+    on_curve = L.eq(L.mont_sqr(FP, ym), rhs)
+    y_can = L.from_mont(FP, ym)
+    y_large = L.geq_const(FP, y_can, _HALF_P1)
+    ym = jnp.where((y_large != sign_bit)[:, None], L.neg_mod(FP, ym), ym)
 
-    phi(P) == -[z^2]P with phi((X, Y, Z)) = (beta X, Y, Z); the comparison
-    cross-multiplies so no inversion is needed.  Infinity passes (matching
-    validate_kzg_g1, reference: utils.rs:298-301).
-    """
-    n = points.shape[0]
-    beta_m = jnp.asarray(
-        L.int_to_limbs(FP.nlimbs, (_BETA_INT * ((1 << (L.BASE_BITS * FP.nlimbs)) % _P)) % _P)
+    one_m = jnp.asarray(FP.one_mont)
+    zero = jnp.zeros_like(xm)
+    inf_enc_ok = (
+        inf_bit
+        & ~sign_bit
+        & (first == 0)
+        & jnp.all(comp[:, 1:] == 0, axis=1)
     )
-    bits = jnp.asarray(np.array(_Z2_BITS, dtype=np.uint8))[:, None]
-    bits = jnp.broadcast_to(bits, (len(_Z2_BITS), n))
-    z2p = _dbl_add_ladder(points, bits)  # [z^2]P
-    # phi(P): scale X by beta (Montgomery mul keeps Montgomery form).
-    phix = L.mont_mul(FP, points[..., 0, :], beta_m)
+    ok = comp_bit & jnp.where(inf_bit, inf_enc_ok, x_ok & on_curve)
+
+    xo = jnp.where(inf_bit[:, None], zero, xm)
+    yo = jnp.where(inf_bit[:, None], jnp.broadcast_to(one_m, xm.shape), ym)
+    zo = jnp.where(inf_bit[:, None], zero, jnp.broadcast_to(one_m, xm.shape))
+    return jnp.stack([xo, yo, zo], axis=-2), ok
+
+
+g1_uncompress_kernel = jax.jit(g1_uncompress_points)
+
+
+# ---------------------------------------------------------------------------
+# Shared window-base chain + GLV subgroup check
+# ---------------------------------------------------------------------------
+
+
+def bases_chain(points):
+    """[N, 3, l] -> (bases [W, N, 3, l], bases2 [W, N, 3, l]) with
+    bases[j] = 4^j * P and bases2[j] = 2 * 4^j * P.  The scan is the single
+    sequential dependency of verification; everything downstream is wide."""
+
+    def step(acc, _):
+        return C.proj_double(C.proj_double(acc)), acc
+
+    _, bases = lax.scan(step, points, None, length=NUM_WINDOWS)
+    return bases, C.proj_double(bases)
+
+
+def _reduce_axis0(points):
+    """Tree-sum a [W, ..., 3, l] point tensor over axis 0 (pads W to a power
+    of two with infinity)."""
+    w = points.shape[0]
+    m = 1
+    while m < w:
+        m *= 2
+    if m != w:
+        pad = C.proj_infinity((m - w,) + points.shape[1:-2])
+        points = jnp.concatenate([points, pad], axis=0)
+    while points.shape[0] > 1:
+        half = points.shape[0] // 2
+        points = C.proj_add(points[:half], points[half:])
+    return points[0]
+
+
+def _select_digit_multiple(bases, bases2, digits):
+    """Pick ``d * 4^j * P`` from {B, 2B} for signed digits in {-2..2}:
+    magnitude 2 -> 2B, 1 -> B, 0 -> infinity (X=Z=0), sign -> negated Y.
+    ``digits`` broadcasts against the leading axes of ``bases``."""
+    mag = jnp.abs(digits)
+    sel = jnp.where((mag == 2)[..., None, None], bases2, bases)
+    x, y, z = sel[..., 0, :], sel[..., 1, :], sel[..., 2, :]
+    zero_mask = (mag == 0)[..., None]
+    x = jnp.where(zero_mask, jnp.zeros_like(x), x)
+    z = jnp.where(zero_mask, jnp.zeros_like(z), z)
+    y = jnp.where((digits < 0)[..., None], L.neg_mod(FP, y), y)
+    return jnp.stack([x, y, z], axis=-2)
+
+
+def subgroup_check_from_bases(points, bases, bases2):
+    """GLV subgroup membership phi(P) == -[z^2]P for every point, with
+    [z^2]P assembled from the shared window bases via the CONSTANT signed
+    base-4 digits of z^2 — no per-point ladder.  Infinity passes (matching
+    validate_kzg_g1, reference: utils.rs:298-301).  Returns bool [N]."""
+    digs = jnp.asarray(_Z2_DIGITS.astype(np.int32))[:, None]  # [W, 1]
+    sel = _select_digit_multiple(bases, bases2, digs)
+    z2p = _reduce_axis0(sel)  # [N, 3, l] = [z^2] P
+    phix = L.mont_mul(FP, points[..., 0, :], jnp.asarray(_BETA_MONT))
     phiy = points[..., 1, :]
     phiz = points[..., 2, :]
-    # Compare phi(P) == -z2p: projective (x = X/Z) equality via
-    # cross-multiplication, no inversion.
     x2, y2, z2 = z2p[..., 0, :], L.neg_mod(FP, z2p[..., 1, :]), z2p[..., 2, :]
     eq_x = L.eq(L.mont_mul(FP, phix, z2), L.mont_mul(FP, x2, phiz))
     eq_y = L.eq(L.mont_mul(FP, phiy, z2), L.mont_mul(FP, y2, phiz))
     inf_a = L.is_zero(phiz)
     inf_b = L.is_zero(z2)
-    both = eq_x & eq_y & ~inf_a & ~inf_b
-    return both | (inf_a & inf_b)
+    return (eq_x & eq_y & ~inf_a & ~inf_b) | (inf_a & inf_b)
 
 
-subgroup_check_kernel = jax.jit(_subgroup_check)
+@jax.jit
+def subgroup_check_kernel(points):
+    """Standalone batched subgroup check (tests; production fuses it into
+    ``batch_stage1_kernel``)."""
+    bases, bases2 = bases_chain(points)
+    return subgroup_check_from_bases(points, bases, bases2)
 
 
-@partial(jax.jit, static_argnums=0)
-def batch_prepare_kernel(n: int, roots_m, inv_n_m, points, blob_bytes, xs):
-    """Stage 1+2 of batch verification in ONE dispatch: subgroup-check all
-    parsed points AND run the fused ingest+barycentric over all blobs.
+# ---------------------------------------------------------------------------
+# Stage 1 (points): decompress + chain + subgroup, one dispatch
+# ---------------------------------------------------------------------------
 
-    Returns a single packed [B+1, l] array (one fetch on the tunneled
-    device): rows 0..B-1 are the ys, row B carries the two validity flags in
-    its first limbs (limb 0 = all points in subgroup, limb 1 = all blob
-    field elements canonical).
+
+def batch_points(comp_bytes):
+    """comp_bytes [2B, 48] uint8, blob-major (row ``2b`` = commitment b,
+    row ``2b+1`` = proof b, matching :func:`stage2_lane_layout`; padded rows
+    encode infinity) -> (bases, bases2, flags).
+
+    ``bases``/``bases2`` [W, 2B, 3, l] stay device-resident as stage-2
+    inputs; ``flags`` [2] uint32 is the tiny host fetch (flag 0: all points
+    decode, flag 1: all in subgroup).
     """
-    ok_sub = jnp.all(_subgroup_check(points))
-    ys, ok_blob = bary_batch_from_bytes_kernel(n, roots_m, inv_n_m, blob_bytes, xs)
-    flags = jnp.zeros((1, ys.shape[-1]), jnp.uint32)
-    flags = flags.at[0, 0].set(ok_sub.astype(jnp.uint32))
-    flags = flags.at[0, 1].set(ok_blob.astype(jnp.uint32))
-    return jnp.concatenate([ys, flags], axis=0)
+    points, dec_ok = g1_uncompress_points(comp_bytes)
+    bases, bases2 = bases_chain(points)
+    sub_ok = subgroup_check_from_bases(points, bases, bases2)
+    flags = jnp.stack([jnp.all(dec_ok), jnp.all(sub_ok)]).astype(jnp.uint32)
+    return bases, bases2, flags
+
+
+batch_points_kernel = jax.jit(batch_points)
 
 
 # ---------------------------------------------------------------------------
-# Fused batch-verification core
+# Stage 2: the RLC combination as one wide gather/reduce
 # ---------------------------------------------------------------------------
+
+
+def stage2_lane_layout(n: int) -> tuple[np.ndarray, np.ndarray]:
+    """Static lane maps for a batch of n blobs, blob-major so a blob-axis
+    shard is self-contained: the point tensor holds [2n] rows with row
+    ``2b`` = commitment b and ``2b+1`` = proof b, and each blob owns six
+    consecutive lanes [proof*k1, proof*k2, comm*k1, comm*k2, proofz*k1,
+    proofz*k2] (k2 = the GLV/phi half).  Lanes 0-1 of each blob form the
+    LHS group (sum r^i proof_i), lanes 2-5 the RHS group.
+    Returns (point_idx [6n] int32, phi [6n] bool).
+    """
+    b = np.arange(n, dtype=np.int32)
+    per_blob_idx = np.stack(
+        [2 * b + 1, 2 * b + 1, 2 * b, 2 * b, 2 * b + 1, 2 * b + 1], axis=1
+    )  # [n, 6]
+    point_idx = per_blob_idx.reshape(-1)
+    phi = np.tile(np.array([False, True, False, True, False, True]), n)
+    return point_idx, phi
+
+
+def stage2_digits(n: int, r_powers, r_times_z) -> np.ndarray:
+    """Host recoding of all stage-2 scalars into the [W, 6n] int8 digit
+    matrix matching ``stage2_lane_layout`` (GLV split + signed base-4)."""
+    k1s, k2s = glv.decompose_batch(r_powers)
+    q1s, q2s = glv.decompose_batch(r_times_z)
+    # Blob-major interleave: per blob [p*k1, p*k2, c*k1, c*k2, pz*k1, pz*k2].
+    flat = []
+    for i in range(n):
+        flat += [k1s[i], k2s[i], k1s[i], k2s[i], q1s[i], q2s[i]]
+    return glv.recode_base4_signed(flat)
+
+
+def stage2_partials(bases, bases2, digits, point_idx, phi_mask):
+    """The lincomb partial sums over one (shard of a) batch: gather the
+    digit-selected multiples from the bases and tree-reduce per lane group.
+    digits [W, 6n] blob-major (see ``stage2_lane_layout``).  Returns
+    [2, 3, l]: row 0 = sum r^i proof_i, row 1 = sum r^i C_i +
+    sum (r^i z_i) proof_i (generator part NOT yet subtracted)."""
+    n = digits.shape[1] // 6
+    g1 = jnp.take(bases, point_idx, axis=1)   # [W, 6n, 3, l]
+    g2 = jnp.take(bases2, point_idx, axis=1)
+    sel = _select_digit_multiple(g1, g2, digits.astype(jnp.int32))
+    # GLV halves multiply phi(P) = (beta X, Y, Z); phi commutes with
+    # doubling and negation, so twisting the selected multiple is exact.
+    x = sel[..., 0, :]
+    xb = L.mont_mul(FP, x, jnp.asarray(_BETA_MONT))
+    x = jnp.where(phi_mask[None, :, None], xb, x)
+    sel = jnp.concatenate([x[..., None, :], sel[..., 1:, :]], axis=-2)
+
+    w = sel.shape[0]
+    grouped = sel.reshape(w, n, 6, 3, FP.nlimbs)
+    lhs_flat = grouped[:, :, :2].reshape(w * n * 2, 3, FP.nlimbs)
+    rhs_flat = grouped[:, :, 2:].reshape(w * n * 4, 3, FP.nlimbs)
+    lhs = C.fold_reduce(lhs_flat, _fold_for(w * 2 * n))
+    rhs = C.fold_reduce(rhs_flat, _fold_for(w * 4 * n))
+    return jnp.stack([lhs, rhs], axis=0)
+
+
+def gen_mult(gen_table, digits):
+    """[s] G via the generator window table: one fixed-base multiply
+    (replaces the reference's n per-blob generator multiplies, kzg.rs:603).
+    digits [64, 1] signed base-16 (``msm.recode_signed_digits``)."""
+    table = gen_table  # [64, 8, 1, 3, l]
+    syg = M.select_window_points(table, digits)  # [64, 1, 3, l]
+    return _reduce_axis0(syg)[0]  # [3, l]
+
+
+def batch_stage2(bases, bases2, digits, point_idx, phi_mask, gen_table, sy_digits):
+    """The whole RLC combination (reference: kzg.rs:601-621) as one wide
+    program over the stage-1 bases.
+
+    Returns [2, 3, l]: row 0 = sum r^i proof_i, row 1 =
+    sum r^i C_i + sum (r^i z_i) proof_i - [sum r^i y_i] G.
+    """
+    out = stage2_partials(bases, bases2, digits, point_idx, phi_mask)
+    rhs = C.proj_add(out[1], C.point_neg(gen_mult(gen_table, sy_digits)))
+    return jnp.stack([out[0], rhs], axis=0)
+
+
+batch_stage2_kernel = jax.jit(batch_stage2)
+
+
+def _fold_for(n: int) -> int:
+    f = 1
+    while f * 2 <= n:
+        f *= 2
+    return max(2, min(f, 4096))
 
 
 def build_generator_table():
@@ -130,53 +313,6 @@ def build_generator_table():
 
     pts = C.points_to_jacobian([gc.G1_GENERATOR])
     return M._build_table_kernel(jnp.asarray(pts))
-
-
-def batch_core(commitments, proofs, gen_table, n, r_bits, rz_bits, y_digits):
-    """The whole RLC combination (reference: kzg.rs:601-621) in one program.
-
-    Inputs: commitments/proofs [n, 3, l] Jacobian Montgomery; r_bits/rz_bits
-    [255, n] bit matrices for the r-power and r*z scalars; y_digits [64, n]
-    signed window digits of each y_i for the generator fixed-base multiply.
-    Returns (proof_lincomb, rhs_g1), each [3, l]:
-      proof_lincomb = sum r^i proof_i
-      rhs_g1 = sum r^i (C_i - [y_i]G) + sum (r^i z_i) proof_i
-    """
-    # [y_i]G via the generator window table: gather digit-selected multiples
-    # -> [64, n] points, reduce over the window axis.
-    table = jnp.broadcast_to(
-        gen_table, gen_table.shape[:2] + (n,) + gen_table.shape[3:]
-    )  # [64, 8, n, 3, l]
-    yg = M.select_window_points(table, y_digits)  # [64, n, 3, l]
-    while yg.shape[0] > 1:
-        half = yg.shape[0] // 2
-        yg = C.jacobian_add(yg[:half], yg[half:])
-    yg = yg[0]  # [n, 3, l] = [y_i]G
-
-    c_minus_y = C.jacobian_add(commitments, C.point_neg(yg))
-
-    # Two ladders over a fused width-2n batch (proofs appear with both
-    # scalar sets), plus one for C - [y]G.
-    pts2 = jnp.concatenate([proofs, proofs], axis=0)
-    bits2 = jnp.concatenate([r_bits, rz_bits], axis=1)
-    both = _dbl_add_ladder(pts2, bits2)  # [2n, 3, l]
-    cmy = _dbl_add_ladder(c_minus_y, r_bits)  # [n, 3, l]
-
-    proof_lincomb = C.fold_reduce(both[:n], _fold_for(n))
-    proof_z_lincomb = C.fold_reduce(both[n:], _fold_for(n))
-    cmy_lincomb = C.fold_reduce(cmy, _fold_for(n))
-    rhs = C.jacobian_add(cmy_lincomb, proof_z_lincomb)
-    return jnp.stack([proof_lincomb, rhs], axis=0)
-
-
-batch_core_kernel = partial(jax.jit, static_argnums=3)(batch_core)
-
-
-def _fold_for(n: int) -> int:
-    f = 1
-    while f * 2 <= n:
-        f *= 2
-    return max(2, min(f, 4096))
 
 
 # ---------------------------------------------------------------------------

@@ -197,41 +197,103 @@ def blobs_mesh(n_devices: int | None = None) -> Mesh:
     return _mesh(BLOBS_AXIS, n_devices)
 
 
-@partial(jax.jit, static_argnums=(3, 4))
-def sharded_batch_core_kernel(
-    commitments, proofs, gen_table, n: int, mesh: Mesh, r_bits, rz_bits, y_digits
-):
-    """shard_map of :func:`ops.verify_kernels.batch_core_kernel` over the
-    blob axis: each device runs the full per-blob combination on its shard
-    (generator multiples, three ladders, local fold-reduce), the [2, 3, l]
-    partial sums are all_gathered, and a tiny replicated reduction finishes.
-    Point addition is associative, so the result is byte-identical to the
-    single-chip kernel."""
+@partial(jax.jit, static_argnums=1)
+def sharded_batch_points_kernel(comp_bytes, mesh: Mesh):
+    """Blob-axis sharded stage 1 of batch verification (decompress + window
+    chain + GLV subgroup check, :func:`ops.verify_kernels.batch_points`).
+
+    ``comp_bytes`` is the [2B, 48] blob-major compressed-point matrix; each
+    device decompresses and chains its own blobs' points with ZERO
+    communication (the chain is pointwise along the point axis), then the
+    two validity flags are AND-combined with one tiny all_gather.  Returns
+    (bases, bases2, flags) with the bases left sharded over the point axis,
+    exactly where stage 2 needs them.
+    """
     from jax.experimental.shard_map import shard_map
 
     from ..ops import verify_kernels as V
 
-    d = mesh.devices.size
+    def local(comp_shard):
+        bases, bases2, flags = V.batch_points(comp_shard)
+        gathered = jax.lax.all_gather(flags, BLOBS_AXIS)  # [D, 2]
+        return bases, bases2, jnp.min(gathered, axis=0)  # AND of the flags
 
-    def local(c_shard, p_shard, gt, rb, rzb, yd):
-        part = V.batch_core(c_shard, p_shard, gt, n // d, rb, rzb, yd)
+    fn = shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P(BLOBS_AXIS, None),),
+        out_specs=(
+            P(None, BLOBS_AXIS, None, None),
+            P(None, BLOBS_AXIS, None, None),
+            P(None),
+        ),
+        check_rep=False,
+    )
+    return fn(comp_bytes)
+
+
+@partial(jax.jit, static_argnums=(0, 5))
+def sharded_bary_blobs_kernel(n: int, roots_m, inv_n_m, blob_bytes, xs, mesh: Mesh):
+    """Blob-axis sharded fused ingest + canonicality + barycentric
+    (:func:`ops.verify_kernels.bary_batch_from_bytes_kernel`): each device
+    evaluates its own blob shard (no communication), the canonicality flags
+    are AND-combined with one tiny all_gather.  Returns (ys [B, l] sharded
+    over blobs, ok scalar)."""
+    from jax.experimental.shard_map import shard_map
+
+    from ..ops import verify_kernels as V
+
+    def local(blob_shard, xs_shard):
+        ys, ok = V.bary_batch_from_bytes_kernel(
+            n, roots_m, inv_n_m, blob_shard, xs_shard
+        )
+        gathered = jax.lax.all_gather(ok, BLOBS_AXIS)  # [D]
+        return ys, jnp.all(gathered)
+
+    fn = shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P(BLOBS_AXIS, None, None), P(BLOBS_AXIS, None)),
+        out_specs=(P(BLOBS_AXIS, None), P()),
+        check_rep=False,
+    )
+    return fn(blob_bytes, xs)
+
+
+@partial(jax.jit, static_argnums=5)
+def sharded_batch_stage2_kernel(bases, bases2, digits, gen_table, sy_digits, mesh: Mesh):
+    """Blob-axis sharded stage 2 (the RLC combination, reference
+    kzg.rs:601-621): the blob-major lane layout makes each device's shard of
+    the [W, 6n] digit matrix self-contained, so every device gathers and
+    tree-reduces its own blobs' lanes, the [2, 3, l] partial sums ride ONE
+    all_gather over the mesh, and the replicated tail adds the single
+    generator correction.  Point addition is associative, so the result is
+    byte-identical to the single-chip kernel."""
+    from jax.experimental.shard_map import shard_map
+
+    from ..ops import verify_kernels as V
+
+    def local(b1, b2, dig, gt, syd):
+        n_local = dig.shape[1] // 6
+        point_idx, phi = V.stage2_lane_layout(n_local)
+        part = V.stage2_partials(b1, b2, dig, jnp.asarray(point_idx), jnp.asarray(phi))
         gathered = jax.lax.all_gather(part, BLOBS_AXIS)  # [D, 2, 3, l]
         lhs = C.tree_reduce(gathered[:, 0])
         rhs = C.tree_reduce(gathered[:, 1])
+        rhs = C.proj_add(rhs, C.point_neg(V.gen_mult(gt, syd)))
         return jnp.stack([lhs, rhs], axis=0)
 
     fn = shard_map(
         local,
         mesh=mesh,
         in_specs=(
-            P(BLOBS_AXIS, None, None),
-            P(BLOBS_AXIS, None, None),
+            P(None, BLOBS_AXIS, None, None),
+            P(None, BLOBS_AXIS, None, None),
+            P(None, BLOBS_AXIS),
             P(None, None, None, None, None),
-            P(None, BLOBS_AXIS),
-            P(None, BLOBS_AXIS),
-            P(None, BLOBS_AXIS),
+            P(None, None),
         ),
         out_specs=P(None, None),
         check_rep=False,
     )
-    return fn(commitments, proofs, gen_table, r_bits, rz_bits, y_digits)
+    return fn(bases, bases2, digits, gen_table, sy_digits)

@@ -1415,87 +1415,6 @@ static G1Jac g1_mul_gen(const u8 k_be[32]) {
   return acc;
 }
 
-// Canonical G2 generator affine coordinates (consensus-spec constant; the
-// reference carries it Montgomery-encoded at consts.rs:81-154).
-static const char *G2GEN_HEX[4] = {
-    "024aa2b2f08f0a91260805272dc51051c6e47ad4fa403b02b4510b647ae3d177"
-    "0bac0326a805bbefd48056c8c121bdb8",
-    "13e02b6052719f607dacd3a088274f65596bd0d09920b61ab5da61bbdc7f5049"
-    "334cf11213945d57e5ac7d055d042b7e",
-    "0ce5d527727d6e118cc9cdc6da2e351aadfd9baa8cbdd3a76d429a695160d12c"
-    "923ac9cc3baca289e193548608b82801",
-    "0606c4a02ea734cc32acd2b02bc28b99cb3e287e85a763af267492ab572e99ab"
-    "3f370d275cec1da1aaa9075ff05f79be"};
-
-static G2Aff GEN2_TBL[64][15];
-static G2Aff GEN2_BASE;  // canonical generator, to gate table use
-static std::once_flag GEN2_FLAG, GEN2_BASE_FLAG;
-
-static void gen2_base_init() {
-  u64 c[6];
-  from_hex<6>(G2GEN_HEX[0], c);
-  to_mont<6>(FP, c, GEN2_BASE.x.a.v);
-  from_hex<6>(G2GEN_HEX[1], c);
-  to_mont<6>(FP, c, GEN2_BASE.x.b.v);
-  from_hex<6>(G2GEN_HEX[2], c);
-  to_mont<6>(FP, c, GEN2_BASE.y.a.v);
-  from_hex<6>(G2GEN_HEX[3], c);
-  to_mont<6>(FP, c, GEN2_BASE.y.b.v);
-  GEN2_BASE.inf = false;
-}
-
-static void gen2_build() {
-  std::call_once(GEN2_BASE_FLAG, gen2_base_init);
-  std::vector<G2Jac> rows(64 * 15);
-  G2Jac base = {GEN2_BASE.x, GEN2_BASE.y, FP2_ONE_C};
-  for (int w = 0; w < 64; ++w) {
-    G2Jac acc = base;
-    for (int d = 0; d < 15; ++d) {
-      rows[w * 15 + d] = acc;
-      acc = g2_add_jac(acc, base);
-    }
-    base = acc;
-  }
-  std::vector<Fp2> pref(64 * 15);
-  Fp2 accp = FP2_ONE_C;
-  for (int i = 0; i < 64 * 15; ++i) {
-    accp = fp2_mul(accp, rows[i].z);
-    pref[i] = accp;
-  }
-  Fp2 inv = fp2_inv(accp);
-  for (int i = 64 * 15 - 1; i >= 0; --i) {
-    Fp2 zi = (i == 0) ? inv : fp2_mul(inv, pref[i - 1]);
-    inv = fp2_mul(inv, rows[i].z);
-    Fp2 zi2 = fp2_sqr(zi);
-    GEN2_TBL[i / 15][i % 15] = {fp2_mul(rows[i].x, zi2),
-                                fp2_mul(fp2_mul(rows[i].y, zi2), zi), false};
-  }
-}
-
-// Gate for the fixed G2 table (valid only for the canonical base).  Only
-// initializes the base constant - the ~190KB table build is deferred to
-// g2_mul_gen so non-canonical-generator contexts never pay for it.
-static bool g2_is_canonical_gen(const G2Aff &g) {
-  std::call_once(GEN2_BASE_FLAG, gen2_base_init);
-  return !g.inf && fp2_eq(g.x, GEN2_BASE.x) && fp2_eq(g.y, GEN2_BASE.y);
-}
-
-static G2Jac g2_mul_gen(const u8 k_be[32]) {
-  std::call_once(GEN2_FLAG, gen2_build);
-  G2Jac acc = g2_jac_inf();
-  for (int i = 0; i < 32; ++i) {
-    const int dhi = k_be[i] >> 4, dlo = k_be[i] & 15;
-    const int wlo = 2 * (31 - i);
-    if (dhi)
-      acc = g2_add_jac(acc, {GEN2_TBL[wlo + 1][dhi - 1].x,
-                             GEN2_TBL[wlo + 1][dhi - 1].y, FP2_ONE_C});
-    if (dlo)
-      acc = g2_add_jac(
-          acc, {GEN2_TBL[wlo][dlo - 1].x, GEN2_TBL[wlo][dlo - 1].y, FP2_ONE_C});
-  }
-  return acc;
-}
-
 // ===========================================================================
 // Pairing: projective inversion-free Miller loop (mirrors ops/pairing.py,
 // which is validated on hardware against the golden model) + x-chain final

@@ -28,6 +28,12 @@ import pytest
 if not os.environ.get("KZG_TPU_TEST_REAL_DEVICE"):
     jax.config.update("jax_platforms", "cpu")
 
+# Automatic multi-device sharding would trigger a fresh shard_map compile
+# for EVERY batch shape in the suite (minutes each on XLA-CPU).  The mesh
+# path gets dedicated coverage instead: test_parallel_sharded.py (kernels)
+# and its API-level test (which re-enables this knob explicitly).
+os.environ.setdefault("KZG_TPU_SHARD", "0")
+
 # Limb-arithmetic graphs are compile-heavy; persist compiled executables so
 # repeat test runs skip XLA compilation.
 jax.config.update("jax_compilation_cache_dir", os.path.expanduser("~/.cache/jax_kzg"))
@@ -53,7 +59,15 @@ def backend_name() -> str:
     env = os.environ.get("KZG_TPU_BACKEND")
     if env:
         return env
-    return "jax" if os.environ.get("KZG_TPU_TEST_REAL_DEVICE") else "golden"
+    if os.environ.get("KZG_TPU_TEST_REAL_DEVICE"):
+        # On real hardware the conformance suite must exercise the DEVICE
+        # branch of the jax backend, not silently fall through to the native
+        # host runtime (round-1 VERDICT finding): default the placement
+        # knobs to the device unless explicitly overridden.
+        os.environ.setdefault("KZG_TPU_EVAL", "device")
+        os.environ.setdefault("KZG_TPU_PROVER", "device")
+        return "jax"
+    return "golden"
 
 
 @pytest.fixture(scope="session")

@@ -38,6 +38,21 @@ def _flip_bit(data: bytes, bit: int) -> bytes:
     return bytes(b)
 
 
+@pytest.fixture(params=["auto", "device"])
+def placement(request, monkeypatch):
+    """Two passes per test: placement 'auto' (native host runtime where
+    built) and forced 'device' (the jax kernel branch), so the differential
+    corpus exercises BOTH production paths regardless of which the
+    environment would pick (round-1 VERDICT: the device branch was untested
+    wherever the native library built).  Function-scoped so the env never
+    leaks into the mainnet spot-checks below (mainnet device kernels are
+    TPU-only, conftest docstring)."""
+    if request.param == "device":
+        monkeypatch.setenv("KZG_TPU_EVAL", "device")
+        monkeypatch.setenv("KZG_TPU_PROVER", "device")
+    return request.param
+
+
 @pytest.fixture(scope="module")
 def minimal_env():
     settings = make_insecure_setup(MINIMAL)
@@ -54,7 +69,7 @@ def minimal_env():
     return settings, golden, jaxbe, rng, blob, commitment, proof
 
 
-def test_verify_kzg_proof_differential(minimal_env):
+def test_verify_kzg_proof_differential(minimal_env, placement):
     settings, golden, jaxbe, rng, blob, commitment, _ = minimal_env
     z = Bytes32((3).to_bytes(32, "big"))
     proof, y = Kzg.compute_kzg_proof(blob, z, settings, backend=golden)
@@ -103,7 +118,7 @@ def test_verify_kzg_proof_differential(minimal_env):
         assert g == j, f"case {i}: golden={g} jax={j}"
 
 
-def test_verify_blob_proof_batch_differential(minimal_env):
+def test_verify_blob_proof_batch_differential(minimal_env, placement):
     settings, golden, jaxbe, rng, blob, commitment, proof = minimal_env
     blobs, comms, proofs = [blob], [commitment], [proof]
     for k in range(3):

@@ -90,9 +90,11 @@ def test_sharded_barycentric_matches_golden():
     assert got == want
 
 
-def test_sharded_batch_core_matches_golden():
-    """Blob-axis sharded RLC combination == golden naive lincombs
-    (the scale-out path of verify_blob_kzg_proof_batch)."""
+def test_sharded_batch_stages_match_golden():
+    """Blob-axis sharded batch verification, stages 1 + 2 (device
+    decompression + window chain + GLV subgroup checks, then the GLV
+    gather/reduce RLC combination) == golden naive lincombs (the scale-out
+    path of verify_blob_kzg_proof_batch)."""
     import jax.numpy as jnp
     import numpy as np
 
@@ -107,19 +109,27 @@ def test_sharded_batch_core_matches_golden():
     n = 2 * d
     commitments = [gc.g1_mul(gc.G1_GENERATOR, rng.randrange(1, R)) for _ in range(n)]
     proofs = [gc.g1_mul(gc.G1_GENERATOR, rng.randrange(1, R)) for _ in range(n)]
+    comp_rows = []
+    for i in range(n):
+        comp_rows.append(gc.g1_compress(commitments[i]))
+        comp_rows.append(gc.g1_compress(proofs[i]))
+    comp = np.frombuffer(b"".join(comp_rows), dtype=np.uint8).reshape(2 * n, 48)
+    bases, bases2, flags = S.sharded_batch_points_kernel(jnp.asarray(comp), mesh)
+    assert bool(np.asarray(flags)[0]), "valid points flagged as undecodable"
+    assert bool(np.asarray(flags)[1]), "subgroup points flagged out of subgroup"
+
     r_powers = [rng.randrange(R) for _ in range(n)]
     r_times_z = [rng.randrange(R) for _ in range(n)]
     ys = [rng.randrange(R) for _ in range(n)]
+    ry = sum(rp * y for rp, y in zip(r_powers, ys)) % R
 
-    out = S.sharded_batch_core_kernel(
-        jnp.asarray(C.points_to_proj(commitments)),
-        jnp.asarray(C.points_to_proj(proofs)),
+    out = S.sharded_batch_stage2_kernel(
+        bases,
+        bases2,
+        jnp.asarray(V.stage2_digits(n, r_powers, r_times_z)),
         V.build_generator_table(),
-        n,
+        jnp.asarray(M.recode_signed_digits([ry], 1), dtype=jnp.int32),
         mesh,
-        jnp.asarray(V.scalars_to_bits(r_powers)),
-        jnp.asarray(V.scalars_to_bits(r_times_z)),
-        jnp.asarray(M.recode_signed_digits(ys, n), dtype=jnp.int32),
     )
     lhs, rhs = C.proj_to_points(np.asarray(out))
 
@@ -131,3 +141,62 @@ def test_sharded_batch_core_matches_golden():
     assert rhs == gc.g1_add(
         gc.g1_lincomb_naive(cmy, r_powers), gc.g1_lincomb_naive(proofs, r_times_z)
     )
+
+
+def test_public_api_batch_hits_sharded_kernels(monkeypatch):
+    """VERDICT round-1 item 3 done-criterion: a public-API batch call on the
+    multi-device CPU mesh must route through the sharded kernels (asserted
+    via call counters) and produce the same verdict as the golden backend."""
+    import random as _random
+
+    from kzg_rust_tpu.api import Kzg
+    from kzg_rust_tpu.backends.golden_backend import GoldenBackend
+    from kzg_rust_tpu.backends.jax_backend import JaxBackend
+    from kzg_rust_tpu.presets import MINIMAL
+    from kzg_rust_tpu.types import Blob
+    from kzg_rust_tpu.utils.testing import make_insecure_setup
+
+    if len(jax.devices()) < 2:
+        pytest.skip("needs a multi-device mesh")
+
+    monkeypatch.setenv("KZG_TPU_SHARD", "auto")
+    monkeypatch.setenv("KZG_TPU_EVAL", "device")
+
+    lrng = _random.Random(0x5A4D)
+    settings = make_insecure_setup(MINIMAL)
+    golden = GoldenBackend()
+    blobs = [
+        Blob(
+            b"".join(b"\x00" + lrng.randbytes(31) for _ in range(4)),
+            bytes_per_blob=MINIMAL.bytes_per_blob,
+        )
+        for _ in range(4)
+    ]
+    cs = [Kzg.blob_to_kzg_commitment(b, settings, golden) for b in blobs]
+    ps = [Kzg.compute_blob_kzg_proof(b, c, settings, golden) for b, c in zip(blobs, cs)]
+
+    calls = {"points": 0, "bary": 0, "stage2": 0}
+    real_points = S.sharded_batch_points_kernel
+    real_bary = S.sharded_bary_blobs_kernel
+    real_stage2 = S.sharded_batch_stage2_kernel
+
+    def count(name, fn):
+        def wrapper(*a, **kw):
+            calls[name] += 1
+            return fn(*a, **kw)
+
+        return wrapper
+
+    monkeypatch.setattr(S, "sharded_batch_points_kernel", count("points", real_points))
+    monkeypatch.setattr(S, "sharded_bary_blobs_kernel", count("bary", real_bary))
+    monkeypatch.setattr(S, "sharded_batch_stage2_kernel", count("stage2", real_stage2))
+
+    jaxbe = JaxBackend()
+    ok = Kzg.verify_blob_kzg_proof_batch(blobs, cs, ps, settings, jaxbe)
+    assert ok is Kzg.verify_blob_kzg_proof_batch(blobs, cs, ps, settings, golden) is True
+    assert calls == {"points": 1, "bary": 1, "stage2": 1}, calls
+
+    # A wrong pairing must flow through the same sharded path to False.
+    swapped = [ps[1], ps[0]] + ps[2:]
+    assert Kzg.verify_blob_kzg_proof_batch(blobs, cs, swapped, settings, jaxbe) is False
+    assert calls["stage2"] == 2
