@@ -112,23 +112,31 @@ def point_neg(p):
 
 def proj_add(p, q):
     """Complete projective addition (RCB eprint 2015/1060 algorithm 7,
-    a = 0, 12M).  Valid for every input pair - no special cases exist."""
+    a = 0, 12M).  Valid for every input pair - no special cases exist.
+
+    Interior sums that only feed a Montgomery multiply use lazy reduction
+    (``L.relaxed_add``: 3 ops vs ~30) - the multiplies' column bounds and
+    REDC absorb the relaxed digits and re-canonicalize.  Sums feeding a
+    subtraction, and the three output coordinates, stay canonical (the
+    borrow chains and downstream ``eq``/``is_zero`` checks require
+    canonical digit patterns)."""
     x1, y1, z1 = p[..., 0, :], p[..., 1, :], p[..., 2, :]
     x2, y2, z2 = q[..., 0, :], q[..., 1, :], q[..., 2, :]
     mul = lambda u, v: L.mont_mul(FP, u, v)
     add = lambda u, v: L.add_mod(FP, u, v)
+    radd = L.relaxed_add
     sub = lambda u, v: L.sub_mod(FP, u, v)
     b3 = jnp.asarray(_B3_MONT)
 
     t0 = mul(x1, x2)
     t1 = mul(y1, y2)
     t2 = mul(z1, z2)
-    t3 = sub(mul(add(x1, y1), add(x2, y2)), add(t0, t1))  # X1Y2 + X2Y1
-    t4 = sub(mul(add(y1, z1), add(y2, z2)), add(t1, t2))  # Y1Z2 + Y2Z1
-    t5 = sub(mul(add(x1, z1), add(x2, z2)), add(t0, t2))  # X1Z2 + X2Z1
-    three_t0 = add(add(t0, t0), t0)
+    t3 = sub(mul(radd(x1, y1), radd(x2, y2)), add(t0, t1))  # X1Y2 + X2Y1
+    t4 = sub(mul(radd(y1, z1), radd(y2, z2)), add(t1, t2))  # Y1Z2 + Y2Z1
+    t5 = sub(mul(radd(x1, z1), radd(x2, z2)), add(t0, t2))  # X1Z2 + X2Z1
+    three_t0 = radd(radd(t0, t0), t0)
     bt2 = mul(b3, t2)
-    z3t = add(t1, bt2)
+    z3t = radd(t1, bt2)
     t1m = sub(t1, bt2)
     y3t = mul(b3, t5)
     x3 = sub(mul(t3, t1m), mul(t4, y3t))
@@ -144,43 +152,46 @@ def proj_add_mixed(p, q_affine):
     x1, y1, z1 = p[..., 0, :], p[..., 1, :], p[..., 2, :]
     x2, y2 = q_affine[..., 0, :], q_affine[..., 1, :]
     mul = lambda u, v: L.mont_mul(FP, u, v)
-    add = lambda u, v: L.add_mod(FP, u, v)
+    radd = L.relaxed_add
     sub = lambda u, v: L.sub_mod(FP, u, v)
     b3 = jnp.asarray(_B3_MONT)
 
     t0 = mul(x1, x2)
     t1 = mul(y1, y2)
-    t3 = sub(mul(add(x1, y1), add(x2, y2)), add(t0, t1))  # X1Y2 + X2Y1
-    t4 = add(mul(y2, z1), y1)  # Y1 + Y2Z1
-    t5 = add(mul(x2, z1), x1)  # X1 + X2Z1
-    three_t0 = add(add(t0, t0), t0)
+    t3 = sub(mul(radd(x1, y1), radd(x2, y2)), L.add_mod(FP, t0, t1))
+    t4 = radd(mul(y2, z1), y1)  # Y1 + Y2Z1, feeds muls only
+    t5 = radd(mul(x2, z1), x1)  # X1 + X2Z1, feeds muls only
+    three_t0 = radd(radd(t0, t0), t0)
     bt2 = mul(b3, z1)
-    z3t = add(t1, bt2)
+    z3t = radd(t1, bt2)
     t1m = sub(t1, bt2)
     y3t = mul(b3, t5)
     x3 = sub(mul(t3, t1m), mul(t4, y3t))
-    y3 = add(mul(y3t, three_t0), mul(t1m, z3t))
-    z3 = add(mul(z3t, t4), mul(three_t0, t3))
+    y3 = L.add_mod(FP, mul(y3t, three_t0), mul(t1m, z3t))
+    z3 = L.add_mod(FP, mul(z3t, t4), mul(three_t0, t3))
     return jnp.stack([x3, y3, z3], axis=-2)
 
 
 def proj_double(p):
-    """Exception-free projective doubling (RCB algorithm 9, a = 0, 8M)."""
+    """Exception-free projective doubling (RCB algorithm 9, a = 0, 8M).
+    Lazy-reduction policy as in :func:`proj_add`."""
     x, y, z = p[..., 0, :], p[..., 1, :], p[..., 2, :]
     mul = lambda u, v: L.mont_mul(FP, u, v)
     add = lambda u, v: L.add_mod(FP, u, v)
+    radd = L.relaxed_add
     sub = lambda u, v: L.sub_mod(FP, u, v)
     b3 = jnp.asarray(_B3_MONT)
 
     t0 = mul(y, y)
-    z3 = add(add(add(t0, t0), add(t0, t0)), add(add(t0, t0), add(t0, t0)))  # 8Y^2
+    t00 = radd(t0, t0)
+    z3 = radd(radd(t00, t00), radd(t00, t00))  # 8Y^2, feeds muls only
     t1 = mul(y, z)
     t2 = mul(b3, mul(z, z))
     x3 = mul(t2, z3)
-    y3 = add(t0, t2)
+    y3 = radd(t0, t2)  # feeds mul(t0, y3) only
     z3 = mul(t1, z3)
     t1 = add(t2, t2)
-    t2 = add(t1, t2)
+    t2 = add(t1, t2)  # feeds sub: canonical digits required
     t0 = sub(t0, t2)
     y3 = add(x3, mul(t0, y3))
     x3 = mul(t0, mul(x, y))

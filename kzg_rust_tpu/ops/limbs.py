@@ -243,6 +243,23 @@ def add_mod(spec: FieldSpec, a, b):
     return cond_sub_mod(spec, s)
 
 
+def relaxed_add(a, b):
+    """Lazy-reduction add: value ``a + b`` (NOT reduced mod N) with digits
+    <= 2^12 + small after one carry-save pass — 3 wide ops instead of
+    add_mod's ~30 (carry-lookahead + conditional subtract).
+
+    Valid ONLY where the result feeds :func:`mont_mul` (whose column bounds
+    absorb the relaxed digits and whose REDC re-canonicalizes: for R > 4N,
+    inputs < 2N yield outputs < 2N before the final cond-sub — Walter's
+    bound).  NEVER feed the result to ``raw_sub``/``sub_mod`` (their borrow
+    chains assume canonical digits) or to ``eq``/``is_zero`` (digit-pattern
+    comparisons).  Inputs: canonical or relaxed; chained use stays bounded
+    (digits grow by at most the carried-in pass, <= 2^12 + 127).
+    """
+    t = a + b
+    return (t & MASK) + _shift_up(t >> BASE_BITS, 1)
+
+
 @partial(jax.jit, static_argnums=0)
 def sub_mod(spec: FieldSpec, a, b):
     d, borrow = raw_sub(a, b)

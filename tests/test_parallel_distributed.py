@@ -73,3 +73,26 @@ def test_batch_stages_on_2x4_host_chip_mesh():
     assert rhs == gc.g1_add(
         gc.g1_lincomb_naive(cmy, r_powers), gc.g1_lincomb_naive(proofs, r_times_z)
     )
+
+
+def test_two_process_distributed_smoke():
+    """TRUE multi-process validation: two OS processes join through
+    ``initialize_distributed`` (gloo CPU collectives) and psum over the
+    global (host, chip) mesh — the program shape of BASELINE config 5 with
+    real cross-process communication (tools/multiproc_smoke.py)."""
+    import pathlib
+    import subprocess
+    import sys
+
+    script = pathlib.Path(__file__).resolve().parent.parent / "tools" / "multiproc_smoke.py"
+    proc = subprocess.run(
+        [sys.executable, str(script)],
+        capture_output=True,
+        timeout=420,
+        text=True,
+    )
+    out = proc.stdout + proc.stderr
+    if "gloo" in out.lower() and proc.returncode != 0 and "MULTIPROC OK" not in out:
+        if "Unrecognized config option" in out or "collectives" in out.lower():
+            pytest.skip("jax build lacks CPU gloo collectives")
+    assert proc.returncode == 0 and "MULTIPROC OK" in out, out[-2000:]
