@@ -420,6 +420,16 @@ def mont_mul(spec: FieldSpec, a, b):
     """
     n = spec.nlimbs
     tcols = _mul_cols(a, b, 2 * n)  # < 2^31
+    return redc_cols(spec, tcols)
+
+
+def redc_cols(spec: FieldSpec, tcols):
+    """Montgomery-reduce accumulated product columns: ``tcols`` [..., 2n]
+    with digits < 2^31 representing T < R*N -> canonical ``T * R^-1 mod N``.
+    The REDC half of :func:`mont_mul`, exposed so column-accumulated SUMS
+    (e.g. :func:`sum_mont_redc`) reduce in one pass instead of a tree of
+    modular adds."""
+    n = spec.nlimbs
     tlo = csave(tcols[..., :n], 2)  # digits <= 2^12 + 127
     if jax.default_backend() == "cpu":
         m = csave(_mul_cols(tlo, jnp.asarray(spec.nprime_limbs), n), 2)
@@ -431,6 +441,24 @@ def mont_mul(spec: FieldSpec, a, b):
         ucols = tcols + _mul_cols_const_mxu(m, spec.mod_mats, 2 * n)
     full = normalize(ucols)  # low n limbs are exactly zero
     return cond_sub_mod(spec, full[..., n:])
+
+
+def sum_mont_redc(spec: FieldSpec, x, axis: int):
+    """Sum Montgomery-form limb tensors along ``axis`` as ONE raw uint32
+    column accumulation plus ONE Montgomery reduction.
+
+    Raw digit sums are exact for up to 2^19 canonical terms (K * 4095 <
+    2^31); the single REDC replaces a log-depth tree of modular adds (each
+    a full carry-lookahead + conditional subtract).  NOTE the value
+    algebra: inputs are x_i = v_i * R (Montgomery form); the output is
+    ``sum(v_i)`` in CANONICAL form (the REDC strips the R) - callers fold
+    the form change into an adjacent constant or multiply.
+    """
+    k = x.shape[axis]
+    assert k * (BASE - 1) < (1 << 31), "too many terms for raw accumulation"
+    cols = jnp.sum(x, axis=axis, dtype=jnp.uint32)  # [..., n] digits < 2^31
+    pad = jnp.zeros(cols.shape[:-1] + (spec.nlimbs,), jnp.uint32)
+    return redc_cols(spec, jnp.concatenate([cols, pad], axis=-1))
 
 
 def mont_sqr(spec: FieldSpec, a):

@@ -23,20 +23,19 @@ from .fields import FR
 
 
 def sum_mod(spec, x, axis: int = 0):
-    """Tree-sum a batch of field elements along ``axis`` (log-depth halving,
-    padded with zero = the additive identity)."""
+    """Sum Montgomery-form field elements along ``axis``, Montgomery out.
+
+    One raw uint32 column accumulation + one Montgomery reduction + one
+    re-encode multiply (``to_mont``) — ~4x fewer wide ops than the previous
+    log-depth tree of modular adds, exact for up to 2^19 terms
+    (:func:`limbs.sum_mont_redc`).  Tiny axes keep the plain add."""
     x = jnp.moveaxis(x, axis, 0)
     n = x.shape[0]
-    m = 1
-    while m < n:
-        m *= 2
-    if m != n:
-        pad = jnp.zeros((m - n,) + x.shape[1:], dtype=x.dtype)
-        x = jnp.concatenate([x, pad], axis=0)
-    while x.shape[0] > 1:
-        half = x.shape[0] // 2
-        x = L.add_mod(spec, x[:half], x[half:])
-    return x[0]
+    if n == 1:
+        return x[0]
+    if n == 2:
+        return L.add_mod(spec, x[0], x[1])
+    return L.to_mont(spec, L.sum_mont_redc(spec, x, axis=0))
 
 
 class FrContext:

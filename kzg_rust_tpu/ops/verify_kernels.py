@@ -349,20 +349,21 @@ def bary_batch_kernel(n: int, roots_m, inv_n_m, evals, xs):
     """Vectorized over the blob axis: evals [B, n, l] canonical, xs [B, l]
     canonical -> ys [B, l] canonical.  Same math as the single-blob kernel
     (reference: kzg.rs:346-389); callers guarantee every x is out of domain.
+
+    The domain-axis sum runs as ONE raw column accumulation + ONE Montgomery
+    reduction (:func:`limbs.sum_mont_redc`) instead of a log-depth tree of
+    modular adds; the reduction's R^-1 drops the sum out of Montgomery form,
+    so the tail multiplies run in canonical form and the final from_mont
+    disappears — value-identical output (the golden-diff suites pin it).
     """
     mul = lambda u, v: L.mont_mul(FR, u, v)
     e_m = L.to_mont(FR, evals)  # [B, n, l]
     x_m = L.to_mont(FR, xs)  # [B, l]
     d = L.sub_mod(FR, x_m[:, None, :], jnp.broadcast_to(roots_m, e_m.shape))
     inv = L.batch_mont_inv(FR, d, axis=1)
-    terms = mul(mul(inv, roots_m), e_m)
-    # log-depth tree sum over the domain axis (n is a power of two).
-    t = terms
-    while t.shape[1] > 1:
-        half = t.shape[1] // 2
-        t = L.add_mod(FR, t[:, :half], t[:, half:])
-    s = mul(t[:, 0], inv_n_m)
+    terms = mul(mul(inv, roots_m), e_m)  # Montgomery form
+    s = L.sum_mont_redc(FR, terms, axis=1)  # CANONICAL form sum
+    s = mul(s, inv_n_m)  # canonical x mont -> canonical
     xn = L.mont_pow_const(FR, x_m, n)
     one_m = jnp.asarray(FR.one_mont)
-    s = mul(s, L.sub_mod(FR, xn, one_m))
-    return L.from_mont(FR, s)
+    return mul(s, L.sub_mod(FR, xn, one_m))  # canonical result

@@ -153,22 +153,19 @@ def sharded_bary_kernel(roots_m, evals, xs, n: int, mesh: Mesh):
         x_m = L.to_mont(FR, x)  # [B, l]
         d = L.sub_mod(FR, x_m[:, None, :], jnp.broadcast_to(roots_sh, e_m.shape))
         inv = L.batch_mont_inv(FR, d, axis=1)
-        terms = mul(mul(inv, roots_sh), e_m)
-        t = terms
-        while t.shape[1] > 1:
-            half = t.shape[1] // 2
-            t = L.add_mod(FR, t[:, :half], t[:, half:])
-        part = t[:, 0]  # [B, l] local partial sum
+        terms = mul(mul(inv, roots_sh), e_m)  # Montgomery form
+        # Local partial: one raw column sum + one Montgomery reduction
+        # (drops out of Montgomery form; see limbs.sum_mont_redc).
+        part = L.sum_mont_redc(FR, terms, axis=1)  # [B, l] canonical
         parts = jax.lax.all_gather(part, DOMAIN_AXIS)  # [D, B, l]
         s = parts
         while s.shape[0] > 1:
             half = s.shape[0] // 2
             s = L.add_mod(FR, s[:half], s[half:])
-        s = mul(s[0], inv_n_m)
+        s = mul(s[0], inv_n_m)  # canonical x mont -> canonical
         xn = L.mont_pow_const(FR, x_m, n)
         one_m = jnp.asarray(FR.one_mont)
-        s = mul(s, L.sub_mod(FR, xn, one_m))
-        return L.from_mont(FR, s)
+        return mul(s, L.sub_mod(FR, xn, one_m))  # canonical result
 
     fn = shard_map(
         local,
