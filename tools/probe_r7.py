@@ -21,11 +21,17 @@ jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)
 
 
+def _t(fn):
+    t0 = time.perf_counter()
+    fn()
+    return time.perf_counter() - t0
+
+
 def diff_time(fn, x, s1, s2):
-    np.asarray(fn(x, s1))
-    t0 = time.perf_counter(); np.asarray(fn(x, s1)); ta = time.perf_counter() - t0
+    np.asarray(fn(x, s1))  # warm BOTH step counts before timing
     np.asarray(fn(x, s2))
-    t0 = time.perf_counter(); np.asarray(fn(x, s2)); tb = time.perf_counter() - t0
+    ta = min(_t(lambda: np.asarray(fn(x, s1))) for _ in range(3))
+    tb = min(_t(lambda: np.asarray(fn(x, s2))) for _ in range(3))
     return (tb - ta) / (s2 - s1)
 
 
