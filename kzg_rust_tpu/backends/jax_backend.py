@@ -52,8 +52,6 @@ def link_profile():
     if _LINK_PROFILE is None:
         with _HASH_POOL_LOCK:
             if _LINK_PROFILE is None:
-                import time
-
                 import jax
                 import jax.numpy as jnp
 
@@ -139,12 +137,10 @@ class JaxBackend(GoldenBackend):
         # "device" keeps the native path.  Explicit KZG_TPU_EVAL=device/host
         # overrides the measurement.
         mode = os.environ.get("KZG_TPU_EVAL", "auto")
-        if mode == "auto":
-            fused = self._verify_native_ctx(settings)
-            if fused is not None and self._auto_prefers_device():
-                mode = "device"
+        fused = self._verify_native_ctx(settings)
+        if mode == "auto" and fused is not None and self._auto_prefers_device():
+            mode = "device"
         if mode in ("auto", "host"):
-            fused = self._verify_native_ctx(settings)
             if fused is not None:
                 for b in blobs:
                     if len(b) != preset.bytes_per_blob:

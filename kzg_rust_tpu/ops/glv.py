@@ -99,8 +99,3 @@ def recode_base4_signed(scalars) -> np.ndarray:
     return np.ascontiguousarray(out.T)  # [66, n]
 
 
-def recode_glv(scalars) -> np.ndarray:
-    """Canonical scalars mod r -> [NUM_WINDOWS_GLV, 2n] int8 digit matrix:
-    columns [0, n) are the k1 halves, [n, 2n) the k2 (phi) halves."""
-    k1s, k2s = decompose_batch(scalars)
-    return recode_base4_signed(k1s + k2s)

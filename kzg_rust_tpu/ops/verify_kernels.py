@@ -125,13 +125,16 @@ g1_uncompress_kernel = jax.jit(g1_uncompress_points)
 def bases_chain(points):
     """[N, 3, l] -> (bases [W, N, 3, l], bases2 [W, N, 3, l]) with
     bases[j] = 4^j * P and bases2[j] = 2 * 4^j * P.  The scan is the single
-    sequential dependency of verification; everything downstream is wide."""
+    sequential dependency of verification; everything downstream is wide.
+    The intermediate double of each step IS bases2[j], so both tables come
+    out of one chain with zero extra point work."""
 
     def step(acc, _):
-        return C.proj_double(C.proj_double(acc)), acc
+        mid = C.proj_double(acc)
+        return C.proj_double(mid), (acc, mid)
 
-    _, bases = lax.scan(step, points, None, length=NUM_WINDOWS)
-    return bases, C.proj_double(bases)
+    _, (bases, bases2) = lax.scan(step, points, None, length=NUM_WINDOWS)
+    return bases, bases2
 
 
 def _reduce_axis0(points):

@@ -89,11 +89,10 @@ int main() {
     }
     printf("PASS adx mont_mul (6-limb Fp + 4-limb Fr) vs generic CIOS\n");
   }
-  // 0b. fixed-base generator multiplication vs double-and-add ladder
+  // 0b. fixed-base G1 generator multiplication vs double-and-add ladder
+  // (the G2 generator table was removed with its only production caller).
   {
     G1Jac g1 = {G1_GEN_X_M, G1_GEN_Y_M, FP_ONE_M};
-    std::call_once(GEN2_FLAG, gen2_build);
-    G2Jac g2 = {GEN2_BASE.x, GEN2_BASE.y, FP2_ONE_C};
     for (int t = 0; t < 64; ++t) {
       u8 k[32];
       for (int i = 0; i < 32; ++i) k[i] = (u8)rnd64();
@@ -107,19 +106,8 @@ int main() {
         printf("FAIL g1_mul_gen t=%d\n", t);
         return 1;
       }
-      G2Aff c = g2_to_aff(g2_mul_gen(k));
-      G2Aff d = g2_to_aff(g2_mul_jac(g2, k, 32));
-      if (c.inf != d.inf ||
-          (!c.inf && (!fp2_eq(c.x, d.x) || !fp2_eq(c.y, d.y)))) {
-        printf("FAIL g2_mul_gen t=%d\n", t);
-        return 1;
-      }
     }
-    if (!g2_is_canonical_gen(GEN2_BASE)) {
-      printf("FAIL g2_is_canonical_gen(base)\n");
-      return 1;
-    }
-    printf("PASS fixed-base g1/g2 generator mul vs ladder\n");
+    printf("PASS fixed-base g1 generator mul vs ladder\n");
   }
   // 0c. GLV decomposition: k == k1 + lam*k2 (mod r), magnitudes < 2^130
   {

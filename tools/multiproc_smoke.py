@@ -5,8 +5,8 @@ Parent mode (no args): spawns two child processes, each a JAX process with
 same entry point a real multi-host TPU deployment calls — then each runs a
 psum over the global 2x4 (host, chip) mesh and process 0 checks the value.
 
-Usage: python tools/multiproc_smoke.py            # parent
-       python tools/multiproc_smoke.py <pid> <n>  # child (internal)
+Usage: python tools/multiproc_smoke.py                   # parent
+       python tools/multiproc_smoke.py <pid> <n> <port>  # child (internal)
 """
 
 import os
@@ -16,10 +16,16 @@ import sys
 ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, ROOT)
 
-PORT = int(os.environ.get("KZG_SMOKE_PORT", "53219"))
+def _free_port() -> int:
+    """Pick an ephemeral port so concurrent runs never collide."""
+    import socket
+
+    with socket.socket() as s:
+        s.bind(("localhost", 0))
+        return s.getsockname()[1]
 
 
-def child(process_id: int, num: int) -> None:
+def child(process_id: int, num: int, port: int) -> None:
     os.environ["JAX_PLATFORMS"] = "cpu"
     os.environ["XLA_FLAGS"] = (
         os.environ.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=4"
@@ -43,7 +49,7 @@ def child(process_id: int, num: int) -> None:
         initialize_distributed,
     )
 
-    initialize_distributed(f"localhost:{PORT}", num_processes=num, process_id=process_id)
+    initialize_distributed(f"localhost:{port}", num_processes=num, process_id=process_id)
     import jax.numpy as jnp
     import numpy as np
     from jax.experimental.shard_map import shard_map
@@ -78,9 +84,10 @@ def child(process_id: int, num: int) -> None:
 
 
 def parent() -> None:
+    port = _free_port()
     procs = [
         subprocess.Popen(
-            [sys.executable, os.path.abspath(__file__), str(i), "2"],
+            [sys.executable, os.path.abspath(__file__), str(i), "2", str(port)],
             stdout=subprocess.PIPE,
             stderr=subprocess.STDOUT,
             cwd=ROOT,
@@ -101,7 +108,7 @@ def parent() -> None:
 
 
 if __name__ == "__main__":
-    if len(sys.argv) == 3:
-        child(int(sys.argv[1]), int(sys.argv[2]))
+    if len(sys.argv) == 4:
+        child(int(sys.argv[1]), int(sys.argv[2]), int(sys.argv[3]))
     else:
         parent()
