@@ -32,6 +32,15 @@ _B3_MONT = L.int_to_limbs(
     FP.nlimbs, (12 * ((1 << (L.BASE_BITS * FP.nlimbs)) % P)) % P
 )
 
+# GLV endomorphism constant: beta a primitive cube root of unity in Fp
+# (phi(x, y) = (beta x, y) = [lam](x, y); see golden/curve.py g1_in_subgroup),
+# stored in Montgomery form.  Shared by the verification stage-2 kernels and
+# the GLV fixed-base MSM.
+BETA_MONT = L.int_to_limbs(
+    FP.nlimbs,
+    (pow(2, (P - 1) // 3, P) * ((1 << (L.BASE_BITS * FP.nlimbs)) % P)) % P,
+)
+
 
 # ---------------------------------------------------------------------------
 # Host codecs: golden affine int points <-> device projective Montgomery limbs
@@ -241,7 +250,10 @@ def fold_reduce(points, fold: int):
     in a ``fori_loop``: each step adds the even- and odd-strided halves and
     pads the tail with infinity, keeping live partial sums in a prefix -
     same shapes every iteration, so XLA compiles the ~width-``fold/2`` add
-    exactly once.  Total work: ~N + fold adds.
+    exactly once.  Total work: ~N + fold adds.  (A halving-width ladder
+    was tried in round 3 and measured ~30% SLOWER on device despite doing
+    half the arithmetic - the shrinking widths are per-op-overhead-bound;
+    tools/probe_msm.py.)
     """
     from jax import lax
 
@@ -259,6 +271,51 @@ def fold_reduce(points, fold: int):
         buf = points
     half_inf = proj_infinity((fold // 2,))
     levels = fold.bit_length() - 1  # log2(fold)
+
+    def body(_, b):
+        s = proj_add(b[0::2], b[1::2])
+        return jnp.concatenate([s, half_inf], axis=0)
+
+    buf = lax.fori_loop(0, levels, body, buf)
+    return buf[0]
+
+
+def fold_reduce_mixed(points_aff, valid, fold: int):
+    """Sum ``[N, 2, nlimbs]`` AFFINE Montgomery points (lanes with
+    ``valid == False`` are skipped) to one projective point.
+
+    Same two-compiled-shape structure as :func:`fold_reduce`, but the
+    accumulation scan uses the 11M complete MIXED add instead of the 12M
+    projective add — affine table entries cannot encode infinity, so skipped
+    lanes (zero MSM digits, infinity base points) are handled by computing
+    the add unconditionally and selecting the untouched accumulator, which
+    costs one masked select instead of a point add.  Garbage in invalid
+    lanes is safe as long as the limbs are canonical (the formulas stay in
+    range; the result is discarded by the select).
+    """
+    from jax import lax
+
+    n = points_aff.shape[0]
+    assert fold >= 2 and (fold & (fold - 1)) == 0, "fold must be a power of 2"
+    if n % fold != 0 or n < fold:
+        pad = (-n) % fold if n > fold else fold - n
+        zrow = jnp.zeros((pad,) + points_aff.shape[1:], points_aff.dtype)
+        points_aff = jnp.concatenate([points_aff, zrow], axis=0)
+        valid = jnp.concatenate(
+            [valid, jnp.zeros((pad,), dtype=valid.dtype)], axis=0
+        )
+        n = points_aff.shape[0]
+    rows = points_aff.reshape(n // fold, fold, 2, FP.nlimbs)
+    vrows = valid.reshape(n // fold, fold)
+    init = proj_infinity((fold,))
+
+    def step(acc, rv):
+        row, v = rv
+        return point_select(v, proj_add_mixed(acc, row), acc), None
+
+    buf = lax.scan(step, init, (rows, vrows))[0]
+    half_inf = proj_infinity((fold // 2,))
+    levels = fold.bit_length() - 1
 
     def body(_, b):
         s = proj_add(b[0::2], b[1::2])

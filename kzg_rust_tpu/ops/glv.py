@@ -44,6 +44,26 @@ WINDOW_BITS = 2
 # recoding carry.
 NUM_WINDOWS_GLV = 66
 
+# Base-32 recoding (the fixed-base MSM tables): 26 signed 5-bit windows
+# cover 130 bits, enough for |k| < 2^128 plus the approximate-rounding slack
+# of the on-device decomposition below.
+WINDOW_BITS_32 = 5
+NUM_WINDOWS_GLV32 = 26
+
+# On-device decomposition constants (used by ops.msm.glv_digits_from_limbs):
+# Babai rounding with the divisions replaced by one multiply-high each.
+#   m1 ~= k (z^2 - 1) / r  via  floor(k * G1C / 2^SHIFT)
+#   m2' = round(k / r)     ==   1 iff 2k >= r (k is canonical, < r)
+# G1C = round((z^2 - 1) 2^SHIFT / r); with SHIFT = 264 (one full Fr limb
+# vector) the floor-based multiply-high keeps m1 within 1 of the exact
+# Babai rounding, which loosens the halves' bounds to |k1|, |k2| < 2^128
+# (floor < round by one shifts k1 by z^2 ~ 2^127.4) — still 2 bits inside
+# the 26-digit base-32 recoding capacity, and the decomposition itself is
+# exact for ANY integer m1, m2 (see decompose()).
+DECOMP_SHIFT = 264
+G1C = ((Z2 - 1) * (1 << DECOMP_SHIFT) + R // 2) // R
+HALF_R_CEIL = (R + 1) // 2
+
 
 def decompose(k: int) -> tuple[int, int]:
     """k (canonical mod r) -> (k1, k2) signed ints with k1 + k2*lam == k
@@ -97,5 +117,38 @@ def recode_base4_signed(scalars) -> np.ndarray:
         raise ValueError("recoding carry out of range")
     out *= signs[:, None].astype(np.int8)
     return np.ascontiguousarray(out.T)  # [66, n]
+
+
+def recode_base32_signed(scalars) -> np.ndarray:
+    """Signed ints |k| < 2^129 -> [NUM_WINDOWS_GLV32, n] int8 digits in
+    {-16..16} with  k = sum_j d_j * 32^j  exactly.
+
+    Same structure as :func:`recode_base4_signed` with 5-bit windows: the
+    magnitude's raw base-32 digits (extracted across byte boundaries), a
+    signed-recoding carry pass (digit > 16 borrows from the next window),
+    then the global sign folded into the digits.
+    """
+    n = len(scalars)
+    signs = np.array([1 if int(s) >= 0 else -1 for s in scalars], dtype=np.int8)
+    mags = [abs(int(s)) for s in scalars]
+    buf = b"".join(m.to_bytes(17, "little") for m in mags)  # 136 bits >= 130
+    by = np.frombuffer(buf, dtype=np.uint8).reshape(n, 17).astype(np.uint16)
+    by = np.concatenate([by, np.zeros((n, 1), np.uint16)], axis=1)
+    dig = np.zeros((n, NUM_WINDOWS_GLV32), dtype=np.int16)
+    for j in range(NUM_WINDOWS_GLV32):
+        bit = WINDOW_BITS_32 * j
+        b0, off = bit // 8, bit % 8
+        dig[:, j] = ((by[:, b0] | (by[:, b0 + 1] << 8)) >> off) & 31
+    out = np.zeros((n, NUM_WINDOWS_GLV32), dtype=np.int8)
+    carry = np.zeros(n, dtype=np.int16)
+    for j in range(NUM_WINDOWS_GLV32):
+        d = dig[:, j] + carry
+        over = (d > 16).astype(np.int16)
+        carry = over
+        out[:, j] = (d - 32 * over).astype(np.int8)
+    if carry.any():  # pragma: no cover - |k| < 2^129 guarantees absorption
+        raise ValueError("recoding carry out of range")
+    out *= signs[:, None]
+    return np.ascontiguousarray(out.T)  # [26, n]
 
 

@@ -528,20 +528,27 @@ def mont_inv(spec: FieldSpec, a):
 
 @partial(jax.jit, static_argnums=(0, 2))
 def batch_mont_inv(spec: FieldSpec, x, axis: int = -2):
-    """Batched inversion: one Fermat inversion + blocked prefix/suffix scans.
+    """Batched inversion via a pairwise PRODUCT TREE + one Fermat inversion.
 
     Replaces the reference's sequential Montgomery batch-inversion loop
-    (reference: utils.rs:94-123).  The batch axis of length L is reshaped to
-    [K, G] blocks; inner ``lax.scan``s run K sequential steps at full G-wide
-    vector width, outer scans combine the G block products, and a single
-    Fermat inversion handles the grand total - O(sqrt(L)) sequential depth
-    with a trace-time-constant graph (``associative_scan`` compiles
-    quadratically here and is avoided on purpose).
+    (reference: utils.rs:94-123).  Up-sweep: multiply adjacent pairs,
+    halving the axis per level (log2 L levels).  One Fermat inversion of
+    the root.  Down-sweep: each node's inverse times the sibling gives the
+    child's inverse (``inv(c0) = c1 * inv(parent)``), doubling back to the
+    leaves.  ~3L multiplies total in ~2 log2(L) + 1 sequential steps, every
+    step a full-width tensor op.
+
+    (Round-2 history: this was blocked prefix/suffix ``lax.scan``s with
+    O(sqrt L) depth; chained-slope device profiling (tools/probe_bary.py)
+    showed ~65 us of per-step overhead across ~260 sequential steps — the
+    dominant term of the whole barycentric kernel.  The tree does the same
+    work in ~24 steps.  jax.lax.associative_scan is still avoided: it
+    compiles quadratically on this op.)
 
     ``inv(x_i) = (prod of x_j except i) * inv(prod of all)``.  Zeros in the
-    input produce garbage in every output slot (the running product is
-    zero) - callers uphold the reference's "error on zero product" contract
-    on host.
+    input produce garbage in every output slot (the root product is zero,
+    and Fermat maps 0 to 0) - callers uphold the reference's "error on zero
+    product" contract on host.
     """
     nax = axis % x.ndim
     # Move the batch axis to the front: [L, ...rest, nlimbs].
@@ -549,42 +556,24 @@ def batch_mont_inv(spec: FieldSpec, x, axis: int = -2):
     length = xf.shape[0]
     one = jnp.asarray(spec.one_mont)
 
-    # Block the batch axis into [K, G] (pad with mont(1): product-neutral).
-    g = 1
-    while g * g < length:
-        g *= 2
-    k = -(-length // g)
-    pad = k * g - length
-    if pad:
-        pad_block = jnp.broadcast_to(one, (pad,) + xf.shape[1:])
+    m = 1
+    while m < length:
+        m *= 2
+    if m != length:  # pad with mont(1): product-neutral
+        pad_block = jnp.broadcast_to(one, (m - length,) + xf.shape[1:])
         xf = jnp.concatenate([xf, pad_block], axis=0)
-    y = xf.reshape((k, g) + xf.shape[1:])  # [K, G, ...rest, n]
 
-    mul = lambda u, v: mont_mul(spec, u, v)
-    one_g = jnp.broadcast_to(one, y.shape[1:])
+    levels = []
+    v = xf
+    while v.shape[0] > 1:
+        levels.append(v)
+        v = mont_mul(spec, v[0::2], v[1::2])
 
-    def inner(carry, row):
-        nxt = mul(carry, row)
-        return nxt, carry  # exclusive prefix
+    inv = mont_inv(spec, v)  # [1, ...rest, n] — the root inverse
 
-    tot_f, pre_excl = lax.scan(inner, one_g, y)  # tot_f: [G,...]; pre_excl: [K,G,...]
-    tot_b, suf_excl = lax.scan(inner, one_g, y, reverse=True)
+    for lv in reversed(levels):
+        a = mont_mul(spec, lv[1::2], inv)  # inverses of the even children
+        b = mont_mul(spec, lv[0::2], inv)  # inverses of the odd children
+        inv = jnp.stack([a, b], axis=1).reshape(lv.shape)
 
-    one_r = jnp.broadcast_to(one, y.shape[2:])
-
-    def outer(carry, blk):
-        nxt = mul(carry, blk)
-        return nxt, carry  # exclusive across blocks
-
-    total, bpre_excl = lax.scan(outer, one_r, tot_f)  # [G, ...rest, n]
-    _, bsuf_excl = lax.scan(outer, one_r, tot_b, reverse=True)
-
-    tinv = mont_inv(spec, total)
-
-    # inv(x[k,g]) = pre_excl * suf_excl * block_pre * block_suf * tinv
-    out = mul(pre_excl, suf_excl)
-    out = mul(out, mul(bpre_excl, bsuf_excl)[None])
-    out = mul(out, tinv[None, None])
-
-    out = out.reshape((k * g,) + xf.shape[1:])[:length]
-    return jnp.moveaxis(out, 0, nax)
+    return jnp.moveaxis(inv[:length], 0, nax)

@@ -40,11 +40,17 @@ def sum_mod(spec, x, axis: int = 0):
 
 class FrContext:
     """Per-settings device state for the polynomial kernels: the bit-reversed
-    roots of unity as Montgomery limb tensors, plus width constants."""
+    roots of unity as Montgomery limb tensors, plus width constants.
 
-    def __init__(self, n: int, roots_m, inv_n_m):
+    ``roots_m2`` carries ``w * R^2``: multiplying CANONICAL evaluations by it
+    through two Montgomery products lands directly on ``(e * v) * R``, which
+    saves the full-width ``to_mont(evals)`` in the barycentric kernels (one
+    of their three measured cost-floor multiplies)."""
+
+    def __init__(self, n: int, roots_m, roots_m2, inv_n_m):
         self.n = n
-        self.roots_m = roots_m  # [n, NLIMBS_FR] Montgomery form
+        self.roots_m = roots_m  # [n, NLIMBS_FR] Montgomery form (w R)
+        self.roots_m2 = roots_m2  # [n, NLIMBS_FR] w R^2
         self.inv_n_m = inv_n_m  # [NLIMBS_FR] mont(1/n)
 
     @classmethod
@@ -54,8 +60,13 @@ class FrContext:
         roots_m = L.ints_to_limbs(
             FR.nlimbs, [(w * rr) % R for w in settings.roots_of_unity]
         )
+        roots_m2 = L.ints_to_limbs(
+            FR.nlimbs, [(w * rr * rr) % R for w in settings.roots_of_unity]
+        )
         inv_n_m = L.int_to_limbs(FR.nlimbs, (pow(n, -1, R) * rr) % R)
-        return cls(n, jnp.asarray(roots_m), jnp.asarray(inv_n_m))
+        return cls(
+            n, jnp.asarray(roots_m), jnp.asarray(roots_m2), jnp.asarray(inv_n_m)
+        )
 
 
 def _evals_to_device(evals) -> jnp.ndarray:
@@ -71,16 +82,17 @@ def _fr_from_device(x) -> int:
 
 
 @partial(jax.jit, static_argnums=0)
-def _bary_kernel(n: int, roots_m, inv_n_m, evals, x):
-    """p(x) = ((x^n - 1)/n) * sum_i e_i * w_i / (x - w_i), all in Montgomery
-    form on device (reference: kzg.rs:346-389).  The caller guarantees x is
-    out of domain, so every denominator is nonzero."""
+def _bary_kernel(n: int, roots_m, roots_m2, inv_n_m, evals, x):
+    """p(x) = ((x^n - 1)/n) * sum_i e_i * w_i / (x - w_i) on device
+    (reference: kzg.rs:346-389).  The caller guarantees x is out of domain,
+    so every denominator is nonzero.  evals stay canonical — the w R^2
+    constant lands the term products in Montgomery form without a
+    ``to_mont`` over the [n] tensor (see FrContext)."""
     mul = lambda u, v: L.mont_mul(FR, u, v)
-    e_m = L.to_mont(FR, evals)
     x_m = L.to_mont(FR, x)
     d = L.sub_mod(FR, jnp.broadcast_to(x_m, roots_m.shape), roots_m)
     inv = L.batch_mont_inv(FR, d, axis=0)
-    terms = mul(mul(inv, roots_m), e_m)
+    terms = mul(mul(inv, roots_m2), evals)
     s = sum_mod(FR, terms, axis=0)
     s = mul(s, inv_n_m)
     xn = L.mont_pow_const(FR, x_m, n)
@@ -90,7 +102,14 @@ def _bary_kernel(n: int, roots_m, inv_n_m, evals, x):
 
 
 def barycentric_eval(ctx: FrContext, evals, x: int) -> int:
-    out = _bary_kernel(ctx.n, ctx.roots_m, ctx.inv_n_m, _evals_to_device(evals), _fr_to_device(x))
+    out = _bary_kernel(
+        ctx.n,
+        ctx.roots_m,
+        ctx.roots_m2,
+        ctx.inv_n_m,
+        _evals_to_device(evals),
+        _fr_to_device(x),
+    )
     return _fr_from_device(out)
 
 

@@ -31,23 +31,24 @@ def _from_mont_point(pt):
     return L.from_mont(FP, pt)
 
 
-@partial(jax.jit, static_argnums=2)
-def commit_kernel(table, blob_bytes, fold: int):
+@partial(jax.jit, static_argnums=3)
+def commit_kernel(table, inf_mask, blob_bytes, fold: int):
     """Blob bytes [n, 32] uint8 BE -> (commitment point [3, l] canonical
-    projective, ok flag).  ingest -> check -> recode -> gather ->
-    fold-reduce, one program (reference: kzg.rs:396-406 + utils.rs:367-410).
+    projective, ok flag).  ingest -> check -> GLV decompose + recode ->
+    gather -> mixed-add fold, one program (reference: kzg.rs:396-406 +
+    utils.rs:367-410).
     ``ok`` is False iff any field element is non-canonical (result garbage).
     """
     from .verify_kernels import blob_bytes_to_limbs
 
     evals_limbs = blob_bytes_to_limbs(blob_bytes)
     ok = ~jnp.any(L.geq_mod(FR, evals_limbs))
-    digits = M.recode_digits_from_limbs(evals_limbs)
-    return _from_mont_point(M._msm_core(table, digits, fold)), ok
+    d1, d2 = M.glv_digits_from_limbs(evals_limbs)
+    return _from_mont_point(M._msm_core_glv(table, inf_mask, d1, d2, fold)), ok
 
 
-@partial(jax.jit, static_argnums=(0, 6))
-def proof_kernel(n: int, roots_m, inv_n_m, table, blob_bytes, z, fold: int):
+@partial(jax.jit, static_argnums=(0, 7))
+def proof_kernel(n: int, roots_m, inv_n_m, table, inf_mask, blob_bytes, z, fold: int):
     """The whole ``compute_kzg_proof_impl`` (reference: kzg.rs:461-528) as
     one program: blob ingestion + canonicality, in-domain detection, y
     evaluation, quotient construction (both cases via ``lax.cond`` - only
@@ -109,6 +110,6 @@ def proof_kernel(n: int, roots_m, inv_n_m, table, blob_bytes, z, fold: int):
 
     q_m = lax.cond(in_domain, q_in, q_out, None)
     q = L.from_mont(FR, q_m)
-    digits = M.recode_digits_from_limbs(q)
-    proof = _from_mont_point(M._msm_core(table, digits, fold))
+    d1, d2 = M.glv_digits_from_limbs(q)
+    proof = _from_mont_point(M._msm_core_glv(table, inf_mask, d1, d2, fold))
     return proof, L.from_mont(FR, y_m), ok

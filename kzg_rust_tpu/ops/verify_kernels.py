@@ -53,12 +53,9 @@ from .fields import FP, FR
 
 NUM_WINDOWS = glv.NUM_WINDOWS_GLV  # 66 base-4 windows per 128-bit GLV half
 
-# GLV endomorphism constant: beta a primitive cube root of unity in Fp,
-# stored in Montgomery form (see golden/curve.py g1_in_subgroup).
-_BETA_INT = pow(2, (_P - 1) // 3, _P)
-_BETA_MONT = L.int_to_limbs(
-    FP.nlimbs, (_BETA_INT * ((1 << (L.BASE_BITS * FP.nlimbs)) % _P)) % _P
-)
+# GLV endomorphism constant beta (Montgomery form), shared with the GLV
+# fixed-base MSM (see golden/curve.py g1_in_subgroup).
+_BETA_MONT = C.BETA_MONT
 # Signed base-4 digits of z^2 (the subgroup-check scalar), a host constant.
 _Z2_DIGITS = glv.recode_base4_signed([glv.Z2])[:, 0]  # [66] int8
 
@@ -333,7 +330,7 @@ def blob_bytes_to_limbs(by):
 
 
 @partial(jax.jit, static_argnums=0)
-def bary_batch_from_bytes_kernel(n: int, roots_m, inv_n_m, blob_bytes, xs):
+def bary_batch_from_bytes_kernel(n: int, roots_m, roots_m2, inv_n_m, blob_bytes, xs):
     """Fused ingest + canonicality check + batched barycentric evaluation:
     blob_bytes [B, n, 32] uint8 BE -> (ys [B, l], ok scalar bool).
 
@@ -343,28 +340,37 @@ def bary_batch_from_bytes_kernel(n: int, roots_m, inv_n_m, blob_bytes, xs):
     """
     evals = blob_bytes_to_limbs(blob_bytes)
     ok = ~jnp.any(L.geq_mod(FR, evals))
-    ys = bary_batch_kernel(n, roots_m, inv_n_m, evals, xs)
+    ys = bary_batch_kernel(n, roots_m, roots_m2, inv_n_m, evals, xs)
     return ys, ok
 
 
 @partial(jax.jit, static_argnums=0)
-def bary_batch_kernel(n: int, roots_m, inv_n_m, evals, xs):
+def bary_batch_kernel(n: int, roots_m, roots_m2, inv_n_m, evals, xs):
     """Vectorized over the blob axis: evals [B, n, l] canonical, xs [B, l]
     canonical -> ys [B, l] canonical.  Same math as the single-blob kernel
     (reference: kzg.rs:346-389); callers guarantee every x is out of domain.
 
-    The domain-axis sum runs as ONE raw column accumulation + ONE Montgomery
-    reduction (:func:`limbs.sum_mont_redc`) instead of a log-depth tree of
-    modular adds; the reduction's R^-1 drops the sum out of Montgomery form,
-    so the tail multiplies run in canonical form and the final from_mont
-    disappears — value-identical output (the golden-diff suites pin it).
+    Form bookkeeping (each trick saves one full-width multiply, and the
+    full-width [B*n] muls are the measured cost floor of this kernel -
+    SCALING.md "Device pipeline"):
+
+    * evals stay CANONICAL: ``roots_m2`` carries w * R^2, so the two term
+      multiplies land on ``(e * w / (x - w)) * R`` without a ``to_mont``
+      over the [B, n] tensor;
+    * the domain-axis sum is ONE raw column accumulation + ONE Montgomery
+      reduction (:func:`limbs.sum_mont_redc`), whose R^-1 drops the sum to
+      canonical form, absorbed by the tail constants.
+
+    Value-identical output (the golden-diff suites pin it).
     """
     mul = lambda u, v: L.mont_mul(FR, u, v)
-    e_m = L.to_mont(FR, evals)  # [B, n, l]
     x_m = L.to_mont(FR, xs)  # [B, l]
-    d = L.sub_mod(FR, x_m[:, None, :], jnp.broadcast_to(roots_m, e_m.shape))
+    d = L.sub_mod(
+        FR, x_m[:, None, :], jnp.broadcast_to(roots_m, evals.shape)
+    )
     inv = L.batch_mont_inv(FR, d, axis=1)
-    terms = mul(mul(inv, roots_m), e_m)  # Montgomery form
+    # (1/(x-w))R x (w R^2) -> (w/(x-w)) R^2; x canonical e -> (e w/(x-w)) R
+    terms = mul(mul(inv, roots_m2), evals)  # Montgomery form
     s = L.sum_mont_redc(FR, terms, axis=1)  # CANONICAL form sum
     s = mul(s, inv_n_m)  # canonical x mont -> canonical
     xn = L.mont_pow_const(FR, x_m, n)

@@ -42,14 +42,15 @@ def default_mesh(n_devices: int | None = None) -> Mesh:
 
 
 class ShardedMsmContext:
-    """MSM context whose window table is sharded over the point axis."""
+    """GLV MSM context whose affine window table is sharded over the point
+    axis (table layout: :func:`kzg_rust_tpu.ops.msm._build_glv_table_kernel`)."""
 
-    def __init__(self, n: int, table, fold: int, mesh: Mesh):
+    def __init__(self, n: int, table, inf_mask, fold: int, mesh: Mesh):
         self.n = n
         self.mesh = mesh
         self.fold = fold
-        sharding = NamedSharding(mesh, P(None, None, POINTS_AXIS, None, None))
-        self.table = jax.device_put(table, sharding)
+        self.table = table
+        self.inf_mask = inf_mask
         self.n_shards = mesh.devices.size
 
     @classmethod
@@ -61,7 +62,7 @@ class ShardedMsmContext:
         if n % d != 0:
             raise ValueError(f"point count {n} not divisible by mesh size {d}")
         if fold is None:
-            local_total = M.NUM_WINDOWS * (n // d)
+            local_total = 2 * M.GLV_NUM_WINDOWS * (n // d)
             fold = min(8192, 1 << (local_total.bit_length() - 1))
         points = C.points_to_jacobian(points_affine)
         # Shard the input points first and build the window table under a
@@ -72,22 +73,26 @@ class ShardedMsmContext:
         psharding = NamedSharding(mesh, P(POINTS_AXIS, None, None))
         pts_dev = jax.device_put(jnp.asarray(points), psharding)
         tsharding = NamedSharding(mesh, P(None, None, POINTS_AXIS, None, None))
-        table = jax.jit(M._build_table_kernel, out_shardings=tsharding)(pts_dev)
-        return cls(n, jax.block_until_ready(table), fold, mesh)
+        isharding = NamedSharding(mesh, P(POINTS_AXIS))
+        table, inf_mask = jax.jit(
+            M._build_glv_table_kernel, out_shardings=(tsharding, isharding)
+        )(pts_dev)
+        return cls(n, jax.block_until_ready(table), inf_mask, fold, mesh)
 
     @classmethod
     def build(cls, settings, mesh: Mesh, fold: int | None = None):
         return cls.build_from_points(settings.g1_values, mesh, fold)
 
 
-@partial(jax.jit, static_argnums=(2, 3))
-def _sharded_msm_kernel(table, digits, fold: int, mesh: Mesh):
-    """shard_map over the point axis: local gather + fold-reduce per chip,
-    all_gather of the [3, nlimbs] partials, small replicated reduction."""
+@partial(jax.jit, static_argnums=(4, 5))
+def _sharded_msm_kernel(table, inf_mask, d1, d2, fold: int, mesh: Mesh):
+    """shard_map over the point axis: local gather + mixed-add fold per
+    chip, all_gather of the [3, nlimbs] partials, small replicated
+    reduction."""
     from jax.experimental.shard_map import shard_map
 
-    def local(table_shard, digits_shard):
-        partial_pt = M._msm_core(table_shard, digits_shard, fold)
+    def local(table_shard, inf_shard, d1_shard, d2_shard):
+        partial_pt = M._msm_core_glv(table_shard, inf_shard, d1_shard, d2_shard, fold)
         gathered = jax.lax.all_gather(partial_pt, POINTS_AXIS)  # [D, 3, l]
         # tree_reduce, not fold_reduce: mesh sizes need not be powers of two
         return C.tree_reduce(gathered)
@@ -95,20 +100,68 @@ def _sharded_msm_kernel(table, digits, fold: int, mesh: Mesh):
     fn = shard_map(
         local,
         mesh=mesh,
-        in_specs=(P(None, None, POINTS_AXIS, None, None), P(None, POINTS_AXIS)),
+        in_specs=(
+            P(None, None, POINTS_AXIS, None, None),
+            P(POINTS_AXIS),
+            P(None, POINTS_AXIS),
+            P(None, POINTS_AXIS),
+        ),
         out_specs=P(None, None),
         check_rep=False,
     )
-    return fn(table, digits)
+    return fn(table, inf_mask, d1, d2)
 
 
 def msm_fixed_base_sharded(ctx: ShardedMsmContext, scalars):
     """Sharded fixed-base MSM; byte-identical result to the 1-chip path."""
-    digits = M.recode_signed_digits(scalars, ctx.n)
+    d1, d2 = M.recode_glv_host(scalars)
     dig_sharding = NamedSharding(ctx.mesh, P(None, POINTS_AXIS))
-    digits = jax.device_put(jnp.asarray(digits, dtype=jnp.int32), dig_sharding)
-    out = _sharded_msm_kernel(ctx.table, digits, ctx.fold, ctx.mesh)
+    d1 = jax.device_put(jnp.asarray(d1, dtype=jnp.int32), dig_sharding)
+    d2 = jax.device_put(jnp.asarray(d2, dtype=jnp.int32), dig_sharding)
+    out = _sharded_msm_kernel(ctx.table, ctx.inf_mask, d1, d2, ctx.fold, ctx.mesh)
     return C.jacobian_to_points(np.asarray(out)[None])[0]
+
+
+@partial(jax.jit, static_argnums=(3, 4))
+def sharded_commit_kernel(table, inf_mask, blob_bytes, fold: int, mesh: Mesh):
+    """Point-sharded fused ``blob_to_kzg_commitment``: each device ingests
+    its shard of the blob (the Lagrange-basis scalar i multiplies setup
+    point i, so the blob's field-element axis IS the point axis), checks
+    canonicality, GLV-decomposes + recodes its own scalars, and runs the
+    local gather + mixed-add fold; the [3, l] partials combine with one
+    all_gather + tree reduce and the canonicality flags AND-combine the same
+    way.  Output: (commitment [3, l] canonical non-Montgomery projective,
+    ok scalar) — byte-identical to the single-device
+    :func:`kzg_rust_tpu.ops.prover_kernels.commit_kernel`.
+    """
+    from jax.experimental.shard_map import shard_map
+
+    from ..ops import limbs as L
+    from ..ops.fields import FP, FR
+    from ..ops.verify_kernels import blob_bytes_to_limbs
+
+    def local(t, im, bb):
+        evals = blob_bytes_to_limbs(bb)
+        ok = ~jnp.any(L.geq_mod(FR, evals))
+        d1, d2 = M.glv_digits_from_limbs(evals)
+        part = M._msm_core_glv(t, im, d1, d2, fold)
+        gathered = jax.lax.all_gather(part, POINTS_AXIS)
+        oks = jax.lax.all_gather(ok, POINTS_AXIS)
+        out = C.tree_reduce(gathered)
+        return L.from_mont(FP, out), jnp.all(oks)
+
+    fn = shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(
+            P(None, None, POINTS_AXIS, None, None),
+            P(POINTS_AXIS),
+            P(POINTS_AXIS, None),
+        ),
+        out_specs=(P(None, None), P()),
+        check_rep=False,
+    )
+    return fn(table, inf_mask, blob_bytes)
 
 
 # ---------------------------------------------------------------------------
@@ -229,8 +282,8 @@ def sharded_batch_points_kernel(comp_bytes, mesh: Mesh):
     return fn(comp_bytes)
 
 
-@partial(jax.jit, static_argnums=(0, 5))
-def sharded_bary_blobs_kernel(n: int, roots_m, inv_n_m, blob_bytes, xs, mesh: Mesh):
+@partial(jax.jit, static_argnums=(0, 6))
+def sharded_bary_blobs_kernel(n: int, roots_m, roots_m2, inv_n_m, blob_bytes, xs, mesh: Mesh):
     """Blob-axis sharded fused ingest + canonicality + barycentric
     (:func:`ops.verify_kernels.bary_batch_from_bytes_kernel`): each device
     evaluates its own blob shard (no communication), the canonicality flags
@@ -242,7 +295,7 @@ def sharded_bary_blobs_kernel(n: int, roots_m, inv_n_m, blob_bytes, xs, mesh: Me
 
     def local(blob_shard, xs_shard):
         ys, ok = V.bary_batch_from_bytes_kernel(
-            n, roots_m, inv_n_m, blob_shard, xs_shard
+            n, roots_m, roots_m2, inv_n_m, blob_shard, xs_shard
         )
         gathered = jax.lax.all_gather(ok, BLOBS_AXIS)  # [D]
         return ys, jnp.all(gathered)

@@ -200,3 +200,66 @@ def test_public_api_batch_hits_sharded_kernels(monkeypatch):
     swapped = [ps[1], ps[0]] + ps[2:]
     assert Kzg.verify_blob_kzg_proof_batch(blobs, cs, swapped, settings, jaxbe) is False
     assert calls["stage2"] == 2
+
+
+def test_public_api_prover_hits_sharded_msm(monkeypatch):
+    """VERDICT round-2 items 4 + 7 done-criteria: on a multi-device host the
+    public-API prover routes ``blob_to_kzg_commitment`` through the
+    point-sharded commit kernel, and ``compute_kzg_proof`` reaches both the
+    domain-sharded barycentric and the point-sharded MSM — byte-identical to
+    the golden backend."""
+    import random as _random
+
+    from kzg_rust_tpu.api import Kzg
+    from kzg_rust_tpu.backends.golden_backend import GoldenBackend
+    from kzg_rust_tpu.backends.jax_backend import JaxBackend
+    from kzg_rust_tpu.presets import Preset
+    from kzg_rust_tpu.types import Blob, Bytes32
+    from kzg_rust_tpu.utils.testing import make_insecure_setup
+
+    if len(jax.devices()) < 2:
+        pytest.skip("needs a multi-device mesh")
+
+    monkeypatch.setenv("KZG_TPU_SHARD", "auto")
+    monkeypatch.setenv("KZG_TPU_PROVER", "device")
+    monkeypatch.setenv("KZG_TPU_EVAL", "device")
+
+    lrng = _random.Random(0xC0117)
+    # 16 field elements: wide enough for the MSM context (the n<8 naive
+    # fallback mirrors utils.rs:369-371), small enough for CPU-XLA compiles.
+    preset = Preset(name="t16", field_elements_per_blob=16)
+    settings = make_insecure_setup(preset)
+    golden = GoldenBackend()
+    blob = Blob(
+        b"".join(b"\x00" + lrng.randbytes(31) for _ in range(16)),
+        bytes_per_blob=preset.bytes_per_blob,
+    )
+
+    calls = {"commit": 0, "msm": 0, "bary": 0}
+    real_commit = S.sharded_commit_kernel
+    real_msm = S._sharded_msm_kernel
+    real_bary = S.sharded_bary_kernel
+
+    def count(name, fn):
+        def wrapper(*a, **kw):
+            calls[name] += 1
+            return fn(*a, **kw)
+
+        return wrapper
+
+    monkeypatch.setattr(S, "sharded_commit_kernel", count("commit", real_commit))
+    monkeypatch.setattr(S, "_sharded_msm_kernel", count("msm", real_msm))
+    monkeypatch.setattr(S, "sharded_bary_kernel", count("bary", real_bary))
+
+    jaxbe = JaxBackend()
+    c_dev = Kzg.blob_to_kzg_commitment(blob, settings, jaxbe)
+    assert bytes(c_dev) == bytes(Kzg.blob_to_kzg_commitment(blob, settings, golden))
+    assert calls["commit"] == 1, calls
+
+    z = Bytes32((7).to_bytes(32, "big"))
+    proof_dev, y_dev = Kzg.compute_kzg_proof(blob, z, settings, jaxbe)
+    proof_gold, y_gold = Kzg.compute_kzg_proof(blob, z, settings, golden)
+    assert bytes(proof_dev) == bytes(proof_gold)
+    assert bytes(y_dev) == bytes(y_gold)
+    assert calls["bary"] >= 1, calls
+    assert calls["msm"] >= 1, calls
