@@ -1,19 +1,22 @@
-"""Round benchmark: north-star metric, production path.
+"""Round benchmark: north-star metric, production path + forced-device path.
 
 Measures ``verify_blob_kzg_proof_batch`` throughput (blobs/s) on the mainnet
-preset through the product's default placement — the reference's headline
-benchmark (reference: benches/kzg_benches.rs:93-126, Throughput::Elements)
-scaled to its largest criterion batch size (n=64).  Prints ONE JSON line.
+preset — the reference's headline benchmark (reference:
+benches/kzg_benches.rs:93-126, Throughput::Elements) at its largest
+criterion batch size (n=64) — TWICE (VERDICT round-2 item 1):
 
-Placement: ``KZG_TPU_EVAL`` is NOT pinned here.  ``auto`` measures the
-host<->device link once and picks the device pipeline exactly when the
-link is PCIe-class; on this environment's tunneled chip (measured ~23 ms
-RTT, ~80 MB/s upload — SCALING.md "Link placement") it selects the native
-host engine, which is the correct production decision for this topology:
-one n=64 batch cannot physically cross this link faster than the host
-verifies it outright.  Set KZG_TPU_EVAL=device to force the TPU pipeline;
-its kernel-level numbers are in SCALING.md "Device pipeline" and
-tools/bench_device.py reproduces them.
+1. through the product's default ``auto`` placement -> ``value`` (the
+   driver-recorded headline).  ``auto`` measures the host<->device link once
+   and picks the device pipeline exactly when this batch's link cost fits
+   the host budget (backends/jax_backend.py cost model); on this
+   environment's tunneled chip (~23-31 ms RTT, ~80 MB/s upload —
+   SCALING.md "Link placement") that correctly selects the native host
+   engine: one n=64 batch cannot cross this link faster than the host
+   verifies it outright.
+2. with placement FORCED to the TPU (``KZG_TPU_EVAL=device
+   KZG_TPU_PROVER=device``), in a child process with a deadline so a
+   degraded tunnel cannot hang the bench -> ``device_*`` fields, including
+   ``device_compute_ms`` (end-to-end minus the measured link cost).
 
 ``vs_baseline``: the reference publishes no numbers (BASELINE.json
 ``"published": {}``) and no Rust toolchain exists here to measure it, so the
@@ -28,10 +31,12 @@ from __future__ import annotations
 import json
 import os
 import random
+import subprocess
 import sys
 import time
 
-sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+ROOT = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, ROOT)
 
 BASELINE_BLOBS_PER_S = 400.0  # documented estimate, see module docstring
 BATCH_N = 64  # reference's largest criterion batch size
@@ -41,6 +46,21 @@ BATCH_N = 64  # reference's largest criterion batch size
 # neighbors.
 REPEATS = 25
 SPACING_S = 0.25
+DEVICE_REPEATS = 5
+# The tunnel's first dispatch has been observed to take ~9 minutes (device
+# discovery + warm-up); give the forced-device child a generous deadline but
+# never let it hang the bench channel.
+DEVICE_TIMEOUT_S = float(os.environ.get("KZG_BENCH_DEVICE_TIMEOUT", "1500"))
+
+
+def _enable_compile_cache():
+    import jax
+
+    jax.config.update(
+        "jax_compilation_cache_dir", os.path.expanduser("~/.cache/jax_kzg")
+    )
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)
 
 
 def random_blob(rng: random.Random, n_fe: int) -> bytes:
@@ -48,25 +68,13 @@ def random_blob(rng: random.Random, n_fe: int) -> bytes:
     return b"".join(b"\x00" + rng.randbytes(31) for _ in range(n_fe))
 
 
-def main() -> None:
-    os.environ.setdefault("KZG_TPU_BACKEND", "jax")
-    import jax
-
-    # Persist compiled executables: the limb-tensor graphs are compile-heavy
-    # and identical across runs, so repeat invocations skip XLA entirely.
-    jax.config.update(
-        "jax_compilation_cache_dir", os.path.expanduser("~/.cache/jax_kzg")
-    )
-    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)
-
+def _build_batch():
     from kzg_rust_tpu import Blob, Kzg
 
     settings = Kzg.load_trusted_setup_file(
-        os.path.join(os.path.dirname(os.path.abspath(__file__)), "data", "trusted_setup.txt")
+        os.path.join(ROOT, "data", "trusted_setup.txt")
     )
     n_fe = settings.preset.field_elements_per_blob
-
     rng = random.Random(0xBEEF)
     blobs, commitments, proofs = [], [], []
     for _ in range(BATCH_N):
@@ -76,6 +84,63 @@ def main() -> None:
         blobs.append(blob)
         commitments.append(c)
         proofs.append(p)
+    return settings, blobs, commitments, proofs
+
+
+def device_probe() -> None:
+    """Child mode: forced-device measurement, one JSON line on stdout."""
+    os.environ["KZG_TPU_BACKEND"] = "jax"
+    os.environ["KZG_TPU_EVAL"] = "device"
+    # Proof/commitment GENERATION stays on the host engine (not under
+    # measurement); only the measured verify path is forced to the device.
+    os.environ["KZG_TPU_PROVER"] = "host"
+    _enable_compile_cache()
+    import jax
+
+    from kzg_rust_tpu import Kzg
+    from kzg_rust_tpu.backends.jax_backend import (
+        AUTO_RTT_CROSSINGS,
+        link_profile,
+    )
+
+    backend = jax.default_backend()
+    if backend == "cpu":
+        print(json.dumps({"device_error": "no accelerator attached (cpu backend)"}))
+        return
+    settings, blobs, commitments, proofs = _build_batch()
+    # Warm-up: compile + upload paths.
+    assert Kzg.verify_blob_kzg_proof_batch(blobs, commitments, proofs, settings) is True
+    best = float("inf")
+    for _ in range(DEVICE_REPEATS):
+        t0 = time.perf_counter()
+        ok = Kzg.verify_blob_kzg_proof_batch(blobs, commitments, proofs, settings)
+        dt = time.perf_counter() - t0
+        assert ok is True
+        best = min(best, dt)
+    rtt, bw = link_profile()
+    upload = BATCH_N * (settings.preset.bytes_per_blob + 96)
+    link_cost = AUTO_RTT_CROSSINGS * rtt + upload / bw
+    print(
+        json.dumps(
+            {
+                "device": str(jax.devices()[0]),
+                "device_blobs_per_s": round(BATCH_N / best, 2),
+                "device_e2e_ms": round(best * 1e3, 2),
+                "device_compute_ms": round(max(best - link_cost, 0.0) * 1e3, 2),
+                "device_link_rtt_ms": round(rtt * 1e3, 3),
+                "device_h2d_MBps": round(bw / 1e6, 1),
+            }
+        )
+    )
+
+
+def main() -> None:
+    os.environ.setdefault("KZG_TPU_BACKEND", "jax")
+    _enable_compile_cache()
+
+    from kzg_rust_tpu import Kzg
+
+    settings, blobs, commitments, proofs = _build_batch()
 
     # Warm-up (compile + cache all jitted paths).
     assert Kzg.verify_blob_kzg_proof_batch(blobs, commitments, proofs, settings) is True
@@ -89,19 +154,45 @@ def main() -> None:
         dt = time.perf_counter() - t0
         assert ok is True
         best = min(best, dt)
-
     blobs_per_s = BATCH_N / best
-    print(
-        json.dumps(
-            {
-                "metric": f"verify_blob_kzg_proof_batch throughput (n={BATCH_N}, mainnet)",
-                "value": round(blobs_per_s, 2),
-                "unit": "blobs/s",
-                "vs_baseline": round(blobs_per_s / BASELINE_BLOBS_PER_S, 4),
-            }
+
+    out = {
+        "metric": f"verify_blob_kzg_proof_batch throughput (n={BATCH_N}, mainnet)",
+        "value": round(blobs_per_s, 2),
+        "unit": "blobs/s",
+        "vs_baseline": round(blobs_per_s / BASELINE_BLOBS_PER_S, 4),
+        "placement_auto": os.environ.get("KZG_TPU_EVAL", "auto"),
+    }
+
+    # Forced-device measurement in a deadlined child (a degraded tunnel must
+    # not hang the bench channel; the child's compile cache is shared).
+    try:
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--device-probe"],
+            capture_output=True,
+            timeout=DEVICE_TIMEOUT_S,
+            cwd=ROOT,
         )
-    )
+        line = proc.stdout.decode(errors="replace").strip().splitlines()
+        parsed = None
+        for ln in reversed(line):
+            try:
+                parsed = json.loads(ln)
+                break
+            except json.JSONDecodeError:
+                continue
+        if parsed is None:
+            tail = proc.stderr.decode(errors="replace")[-300:]
+            parsed = {"device_error": f"probe rc={proc.returncode}: {tail}"}
+    except subprocess.TimeoutExpired:
+        parsed = {"device_error": f"probe exceeded {DEVICE_TIMEOUT_S:.0f}s deadline"}
+    out.update(parsed)
+
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":
-    main()
+    if "--device-probe" in sys.argv:
+        device_probe()
+    else:
+        main()

@@ -112,7 +112,7 @@ def main():
         ctx = be._fr_ctx(settings)
         xs_arr = L.ints_to_limbs(FR.nlimbs, list(zs) + [0] * pad)
         ys_dev, blob_ok = V.bary_batch_from_bytes_kernel(
-            ctx.n, ctx.roots_m, ctx.inv_n_m, blob_dev, jnp.asarray(xs_arr)
+            ctx.n, ctx.roots_m, ctx.roots_m2, ctx.inv_n_m, blob_dev, jnp.asarray(xs_arr)
         )
         t["bary dispatch (async)"] = time.perf_counter() - T0
 

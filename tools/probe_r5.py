@@ -94,6 +94,9 @@ def main():
     roots = compute_roots_of_unity(12)
     rr = FR.mont_r
     roots_m = jnp.asarray(L.ints_to_limbs(FR.nlimbs, [(w * rr) % R for w in roots]))
+    roots_m2 = jnp.asarray(
+        L.ints_to_limbs(FR.nlimbs, [(w * rr * rr) % R for w in roots])
+    )
     inv_n_m = jnp.asarray(L.int_to_limbs(FR.nlimbs, (pow(4096, -1, R) * rr) % R))
     blob_np = np.frombuffer(
         b"".join(b"\x00" + rng.randbytes(31) for _ in range(n * 4096)),
@@ -103,7 +106,9 @@ def main():
     np.asarray(blob_dev[0, 0])
     xs = jnp.asarray(L.ints_to_limbs(FR.nlimbs, [rng.randrange(R) for _ in range(n)]))
 
-    t = fetch_time(V.bary_batch_from_bytes_kernel, 4096, roots_m, inv_n_m, blob_dev, xs)
+    t = fetch_time(
+        V.bary_batch_from_bytes_kernel, 4096, roots_m, roots_m2, inv_n_m, blob_dev, xs
+    )
     print(f"bary [64 x 4096]:              {t*1e3:8.1f} ms")
 
     # 6. stage2 alone
@@ -130,16 +135,24 @@ def main():
     )
     print(f"stage2 [n=64]:                 {t*1e3:8.1f} ms")
 
-    # 7. 4096-point fixed-base MSM (the commitment hot kernel), device input
+    # 7. 4096-point GLV fixed-base MSM (the commitment hot kernel),
+    # device-resident affine table + digits
     scal = [rng.randrange(R) for _ in range(4096)]
-    digs = jnp.asarray(M.recode_signed_digits(scal, 4096), dtype=jnp.int32)
+    d1, d2 = M.recode_glv_host(scal)
     pts_j = C.points_to_jacobian(
         [gc.g1_mul(gc.G1_GENERATOR, rng.randrange(1, R)) for _ in range(4096)]
     )
-    table = M._build_table_kernel(jnp.asarray(pts_j))
+    table, inf_mask = M._build_glv_table_kernel(jnp.asarray(pts_j))
     np.asarray(table[0, 0, 0, 0])
-    t = fetch_time(M._msm_kernel, table, digs, 8192)
-    print(f"4096-pt MSM (table resident):  {t*1e3:8.1f} ms")
+    t = fetch_time(
+        M._msm_glv_kernel,
+        table,
+        inf_mask,
+        jnp.asarray(d1, dtype=jnp.int32),
+        jnp.asarray(d2, dtype=jnp.int32),
+        8192,
+    )
+    print(f"4096-pt GLV MSM (table resident): {t*1e3:8.1f} ms")
 
 
 if __name__ == "__main__":
