@@ -409,13 +409,10 @@ class JaxBackend(GoldenBackend):
                 mesh,
             )
         else:
-            point_idx, phi = V.stage2_lane_layout(npad)
             out = V.batch_stage2_kernel(
                 bases,
                 bases2,
                 jnp.asarray(digits),
-                jnp.asarray(point_idx),
-                jnp.asarray(phi),
                 self._gen_table(),
                 jnp.asarray(sy_digits, dtype=jnp.int32),
             )

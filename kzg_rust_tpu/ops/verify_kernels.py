@@ -198,7 +198,7 @@ def subgroup_check_kernel(points):
 
 def batch_points(comp_bytes):
     """comp_bytes [2B, 48] uint8, blob-major (row ``2b`` = commitment b,
-    row ``2b+1`` = proof b, matching :func:`stage2_lane_layout`; padded rows
+    row ``2b+1`` = proof b, matching the stage-2 lane layout; padded rows
     encode infinity) -> (bases, bases2, flags).
 
     ``bases``/``bases2`` [W, 2B, 3, l] stay device-resident as stage-2
@@ -220,27 +220,13 @@ batch_points_kernel = jax.jit(batch_points)
 # ---------------------------------------------------------------------------
 
 
-def stage2_lane_layout(n: int) -> tuple[np.ndarray, np.ndarray]:
-    """Static lane maps for a batch of n blobs, blob-major so a blob-axis
-    shard is self-contained: the point tensor holds [2n] rows with row
-    ``2b`` = commitment b and ``2b+1`` = proof b, and each blob owns six
-    consecutive lanes [proof*k1, proof*k2, comm*k1, comm*k2, proofz*k1,
-    proofz*k2] (k2 = the GLV/phi half).  Lanes 0-1 of each blob form the
-    LHS group (sum r^i proof_i), lanes 2-5 the RHS group.
-    Returns (point_idx [6n] int32, phi [6n] bool).
-    """
-    b = np.arange(n, dtype=np.int32)
-    per_blob_idx = np.stack(
-        [2 * b + 1, 2 * b + 1, 2 * b, 2 * b, 2 * b + 1, 2 * b + 1], axis=1
-    )  # [n, 6]
-    point_idx = per_blob_idx.reshape(-1)
-    phi = np.tile(np.array([False, True, False, True, False, True]), n)
-    return point_idx, phi
-
-
 def stage2_digits(n: int, r_powers, r_times_z) -> np.ndarray:
     """Host recoding of all stage-2 scalars into the [W, 6n] int8 digit
-    matrix matching ``stage2_lane_layout`` (GLV split + signed base-4)."""
+    matrix (GLV split + signed base-4), blob-major so a blob-axis shard is
+    self-contained: each blob owns six consecutive lanes
+    [proof*k1, proof*k2, comm*k1, comm*k2, proofz*k1, proofz*k2]
+    (k2 = the GLV/phi half).  Lanes 0-1 of each blob form the LHS group
+    (sum r^i proof_i), lanes 2-5 the RHS group."""
     k1s, k2s = glv.decompose_batch(r_powers)
     q1s, q2s = glv.decompose_batch(r_times_z)
     # Blob-major interleave: per blob [p*k1, p*k2, c*k1, c*k2, pz*k1, pz*k2].
@@ -250,27 +236,40 @@ def stage2_digits(n: int, r_powers, r_times_z) -> np.ndarray:
     return glv.recode_base4_signed(flat)
 
 
-def stage2_partials(bases, bases2, digits, point_idx, phi_mask):
-    """The lincomb partial sums over one (shard of a) batch: gather the
-    digit-selected multiples from the bases and tree-reduce per lane group.
-    digits [W, 6n] blob-major (see ``stage2_lane_layout``).  Returns
+# Which of each blob's six lanes multiply the phi half (X scaled by beta).
+_PHI_LANES = np.array([False, True, False, True, False, True])
+
+
+def stage2_partials(bases, bases2, digits):
+    """The lincomb partial sums over one (shard of a) batch: select the
+    digit multiples from the bases and tree-reduce per lane group.
+    digits [W, 6n] blob-major (see ``stage2_digits``).  Returns
     [2, 3, l]: row 0 = sum r^i proof_i, row 1 = sum r^i C_i +
-    sum (r^i z_i) proof_i (generator part NOT yet subtracted)."""
+    sum (r^i z_i) proof_i (generator part NOT yet subtracted).
+
+    The lane -> point-row mapping is STATIC (row 2b = commitment b, row
+    2b+1 = proof b), so the bases are routed to lanes with strided slices +
+    a stack instead of a ``jnp.take`` — XLA gathers lower to near-scalar
+    row loads on TPU (see the MSM's masked-reduction select)."""
     n = digits.shape[1] // 6
-    g1 = jnp.take(bases, point_idx, axis=1)   # [W, 6n, 3, l]
-    g2 = jnp.take(bases2, point_idx, axis=1)
-    sel = _select_digit_multiple(g1, g2, digits.astype(jnp.int32))
+    w = bases.shape[0]
+
+    def lanes(src):  # [W, 2n, 3, l] -> [W, n, 6, 3, l]
+        c = src[:, 0::2]
+        p = src[:, 1::2]
+        return jnp.stack([p, p, c, c, p, p], axis=2)
+
+    d = digits.astype(jnp.int32).reshape(w, n, 6)
+    sel = _select_digit_multiple(lanes(bases), lanes(bases2), d)
     # GLV halves multiply phi(P) = (beta X, Y, Z); phi commutes with
     # doubling and negation, so twisting the selected multiple is exact.
     x = sel[..., 0, :]
     xb = L.mont_mul(FP, x, jnp.asarray(_BETA_MONT))
-    x = jnp.where(phi_mask[None, :, None], xb, x)
+    x = jnp.where(jnp.asarray(_PHI_LANES)[None, None, :, None], xb, x)
     sel = jnp.concatenate([x[..., None, :], sel[..., 1:, :]], axis=-2)
 
-    w = sel.shape[0]
-    grouped = sel.reshape(w, n, 6, 3, FP.nlimbs)
-    lhs_flat = grouped[:, :, :2].reshape(w * n * 2, 3, FP.nlimbs)
-    rhs_flat = grouped[:, :, 2:].reshape(w * n * 4, 3, FP.nlimbs)
+    lhs_flat = sel[:, :, :2].reshape(w * n * 2, 3, FP.nlimbs)
+    rhs_flat = sel[:, :, 2:].reshape(w * n * 4, 3, FP.nlimbs)
     lhs = C.fold_reduce(lhs_flat, _fold_for(w * 2 * n))
     rhs = C.fold_reduce(rhs_flat, _fold_for(w * 4 * n))
     return jnp.stack([lhs, rhs], axis=0)
@@ -285,14 +284,14 @@ def gen_mult(gen_table, digits):
     return _reduce_axis0(syg)[0]  # [3, l]
 
 
-def batch_stage2(bases, bases2, digits, point_idx, phi_mask, gen_table, sy_digits):
+def batch_stage2(bases, bases2, digits, gen_table, sy_digits):
     """The whole RLC combination (reference: kzg.rs:601-621) as one wide
     program over the stage-1 bases.
 
     Returns [2, 3, l]: row 0 = sum r^i proof_i, row 1 =
     sum r^i C_i + sum (r^i z_i) proof_i - [sum r^i y_i] G.
     """
-    out = stage2_partials(bases, bases2, digits, point_idx, phi_mask)
+    out = stage2_partials(bases, bases2, digits)
     rhs = C.proj_add(out[1], C.point_neg(gen_mult(gen_table, sy_digits)))
     return jnp.stack([out[0], rhs], axis=0)
 

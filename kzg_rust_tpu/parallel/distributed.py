@@ -117,9 +117,7 @@ def batch_stage2_kernel_2axis(bases, bases2, digits, gen_table, sy_digits, mesh:
     from ..ops import verify_kernels as V
 
     def local(b1, b2, dig, gt, syd):
-        n_local = dig.shape[1] // 6
-        point_idx, phi = V.stage2_lane_layout(n_local)
-        part = V.stage2_partials(b1, b2, dig, jnp.asarray(point_idx), jnp.asarray(phi))
+        part = V.stage2_partials(b1, b2, dig)
         gathered = jax.lax.all_gather(part, _BLOB_SPEC)  # [H*C, 2, 3, l]
         gathered = gathered.reshape((-1,) + part.shape)
         lhs = C.tree_reduce(gathered[:, 0])

@@ -324,9 +324,7 @@ def sharded_batch_stage2_kernel(bases, bases2, digits, gen_table, sy_digits, mes
     from ..ops import verify_kernels as V
 
     def local(b1, b2, dig, gt, syd):
-        n_local = dig.shape[1] // 6
-        point_idx, phi = V.stage2_lane_layout(n_local)
-        part = V.stage2_partials(b1, b2, dig, jnp.asarray(point_idx), jnp.asarray(phi))
+        part = V.stage2_partials(b1, b2, dig)
         gathered = jax.lax.all_gather(part, BLOBS_AXIS)  # [D, 2, 3, l]
         lhs = C.tree_reduce(gathered[:, 0])
         rhs = C.tree_reduce(gathered[:, 1])

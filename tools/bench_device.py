@@ -135,14 +135,13 @@ def main():
 
         T0 = time.perf_counter()
         digits = V.stage2_digits(npad, r_powers + [0] * pad, r_times_z + [0] * pad)
-        point_idx, phi = V.stage2_lane_layout(npad)
         sy_digits = M.recode_signed_digits([ry], 1)
         t["glv recode (host)"] = time.perf_counter() - T0
 
         T0 = time.perf_counter()
         out = V.batch_stage2_kernel(
-            bases, bases2, jnp.asarray(digits), jnp.asarray(point_idx),
-            jnp.asarray(phi), be._gen_table(), jnp.asarray(sy_digits, dtype=jnp.int32),
+            bases, bases2, jnp.asarray(digits),
+            be._gen_table(), jnp.asarray(sy_digits, dtype=jnp.int32),
         )
         out_h = np.asarray(out)
         t["stage2 dispatch+fetch"] = time.perf_counter() - T0

@@ -119,20 +119,10 @@ def main():
     r_powers = [rng.randrange(R) for _ in range(npad)]
     r_times_z = [rng.randrange(R) for _ in range(npad)]
     digits = jnp.asarray(V.stage2_digits(npad, r_powers, r_times_z))
-    point_idx, phi = V.stage2_lane_layout(npad)
     gen_table = V.build_generator_table()
     sy = jnp.asarray(M.recode_signed_digits([rng.randrange(R)], 1), dtype=jnp.int32)
 
-    t = fetch_time(
-        V.batch_stage2_kernel,
-        bases,
-        bases2,
-        digits,
-        jnp.asarray(point_idx),
-        jnp.asarray(phi),
-        gen_table,
-        sy,
-    )
+    t = fetch_time(V.batch_stage2_kernel, bases, bases2, digits, gen_table, sy)
     print(f"stage2 [n=64]:                 {t*1e3:8.1f} ms")
 
     # 7. 4096-point GLV fixed-base MSM (the commitment hot kernel),
