@@ -77,18 +77,23 @@ def test_batch_stages_on_2x4_host_chip_mesh():
 
 def test_two_process_distributed_smoke():
     """TRUE multi-process validation: two OS processes join through
-    ``initialize_distributed`` (gloo CPU collectives) and psum over the
-    global (host, chip) mesh — the program shape of BASELINE config 5 with
-    real cross-process communication (tools/multiproc_smoke.py)."""
+    ``initialize_distributed`` (gloo CPU collectives), psum over the global
+    (host, chip) mesh, and run the REAL sharded verification kernels
+    (stage 1 + stage 2 + domain-sharded barycentric) against golden — the
+    program shape of BASELINE config 5 with real cross-process
+    communication (tools/multiproc_smoke.py)."""
     import pathlib
     import subprocess
     import sys
 
     script = pathlib.Path(__file__).resolve().parent.parent / "tools" / "multiproc_smoke.py"
+    # Cold XLA-CPU compiles of the stage kernels inside BOTH children can
+    # take several minutes (warm runs hit the persistent cache), and suite
+    # workers compete for cores; the deadline covers the cold case.
     proc = subprocess.run(
         [sys.executable, str(script)],
         capture_output=True,
-        timeout=420,
+        timeout=1800,
         text=True,
     )
     out = proc.stdout + proc.stderr
