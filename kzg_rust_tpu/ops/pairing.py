@@ -143,6 +143,61 @@ def fp12_mul_by_line(f, c00, c11, c12):
 # ---------------------------------------------------------------------------
 
 
+def tangent_line_coeffs(t, xp, yp):
+    """Sparse line coefficients of the tangent at projective t, scaled by
+    2YZ^2 (the scale is an Fp2 factor annihilated by the final
+    exponentiation):
+      c00 = xi * 2YZ^2 * yP ; c11 = 3X^3 - 2Y^2 Z ; c12 = -3X^2 Z * xP
+    """
+    x, y, z = t
+    xx = T2.fp2_sqr(x)
+    yz = T2.fp2_mul(y, z)
+    two_yz2 = T2.fp2_double(T2.fp2_mul(yz, z))
+    three_xx = T2.fp2_add(T2.fp2_double(xx), xx)
+    c00 = T2.fp2_mul_fp(T2.fp2_mul_by_xi(two_yz2), yp)
+    c11 = T2.fp2_sub(
+        T2.fp2_mul(three_xx, x), T2.fp2_double(T2.fp2_mul(T2.fp2_sqr(y), z))
+    )
+    c12 = T2.fp2_neg(T2.fp2_mul_fp(T2.fp2_mul(three_xx, z), xp))
+    return c00, c11, c12
+
+
+def chord_line_coeffs(t, q, xp, yp):
+    """Sparse line coefficients of the chord through projective t and affine
+    q, scaled by D = x2 Z - X:
+      c00 = xi D yP ; c11 = N x2 - y2 D ; c12 = -N xP   (N = y2 Z - Y)
+    """
+    x, y, z = t
+    nn = T2.fp2_sub(T2.fp2_mul(q[1], z), y)
+    dd = T2.fp2_sub(T2.fp2_mul(q[0], z), x)
+    a00 = T2.fp2_mul_fp(T2.fp2_mul_by_xi(dd), yp)
+    a11 = T2.fp2_sub(T2.fp2_mul(nn, q[0]), T2.fp2_mul(q[1], dd))
+    a12 = T2.fp2_neg(T2.fp2_mul_fp(nn, xp))
+    return a00, a11, a12
+
+
+def miller_step(f, t, q, xp, yp):
+    """One Miller-loop iteration minus the bit select (extracted so the
+    step body is testable on CPU without compiling the 63-step scan —
+    tests/test_ops_pairing.py diffs it against the golden model).
+
+    Returns ``(f_dbl, t_dbl, f_add, t_add)``: the (f, t) state after the
+    square + tangent line + double, and the same state with the chord line
+    + mixed addition with q additionally applied (taken when the scan's
+    current exponent bit is 1)."""
+    c00, c11, c12 = tangent_line_coeffs(t, xp, yp)
+    f_dbl = fp12_mul_by_line(T2.fp12_sqr(f), c00, c11, c12)
+    t_dbl = _g2_double(t)
+
+    a00, a11, a12 = chord_line_coeffs(t_dbl, q, xp, yp)
+    f_add = fp12_mul_by_line(f_dbl, a00, a11, a12)
+    t_add = _g2_madd(t_dbl, q)
+    return f_dbl, t_dbl, f_add, t_add
+
+
+miller_step_kernel = jax.jit(miller_step)
+
+
 @jax.jit
 def miller_loop_kernel(xp, yp, qx, qy, active):
     """Batched f_{x,Q}(P) (conjugated, x < 0 - golden/pairing.py:52-86).
@@ -159,36 +214,10 @@ def miller_loop_kernel(xp, yp, qx, qy, active):
 
     def step(carry, bit):
         f, t = carry
-        x, y, z = t
-        # tangent line at t, scaled by 2YZ^2:
-        #   c00 = xi * 2YZ^2 * yP ; c11 = 3X^3 - 2Y^2 Z ; c12 = -3X^2 Z * xP
-        xx = T2.fp2_sqr(x)
-        yz = T2.fp2_mul(y, z)
-        two_yz2 = T2.fp2_double(T2.fp2_mul(yz, z))
-        three_xx = T2.fp2_add(T2.fp2_double(xx), xx)
-        c00 = T2.fp2_mul_fp(T2.fp2_mul_by_xi(two_yz2), yp)
-        c11 = T2.fp2_sub(
-            T2.fp2_mul(three_xx, x), T2.fp2_double(T2.fp2_mul(T2.fp2_sqr(y), z))
-        )
-        c12 = T2.fp2_neg(T2.fp2_mul_fp(T2.fp2_mul(three_xx, z), xp))
-        f = T2.fp12_sqr(f)
-        f = fp12_mul_by_line(f, c00, c11, c12)
-        t = _g2_double(t)
-
-        # conditional addition step: chord through t and q, scaled by
-        # D = x2 Z - X:  c00 = xi D yP ; c11 = N x2 - y2 D ; c12 = -N xP
-        x, y, z = t
-        nn = T2.fp2_sub(T2.fp2_mul(q[1], z), y)
-        dd = T2.fp2_sub(T2.fp2_mul(q[0], z), x)
-        a00 = T2.fp2_mul_fp(T2.fp2_mul_by_xi(dd), yp)
-        a11 = T2.fp2_sub(T2.fp2_mul(nn, q[0]), T2.fp2_mul(q[1], dd))
-        a12 = T2.fp2_neg(T2.fp2_mul_fp(nn, xp))
-        f_add = fp12_mul_by_line(f, a00, a11, a12)
-        t_add = _g2_madd(t, q)
-
+        f_dbl, t_dbl, f_add, t_add = miller_step(f, t, q, xp, yp)
         takebit = jnp.broadcast_to(bit != 0, shape)
-        f = _select_tree(takebit, f_add, f)
-        t = _select_tree(takebit, t_add, t)
+        f = _select_tree(takebit, f_add, f_dbl)
+        t = _select_tree(takebit, t_add, t_dbl)
         return (f, t), None
 
     (f, _t), _ = lax.scan(step, (f, t), bits)
