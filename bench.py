@@ -54,13 +54,9 @@ DEVICE_TIMEOUT_S = float(os.environ.get("KZG_BENCH_DEVICE_TIMEOUT", "1500"))
 
 
 def _enable_compile_cache():
-    import jax
+    from kzg_rust_tpu.utils.observability import enable_compile_cache
 
-    jax.config.update(
-        "jax_compilation_cache_dir", os.path.expanduser("~/.cache/jax_kzg")
-    )
-    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)
+    enable_compile_cache()
 
 
 def random_blob(rng: random.Random, n_fe: int) -> bytes:

@@ -131,6 +131,7 @@ class JaxBackend(GoldenBackend):
         # object (id()-keyed entries could serve stale state after
         # address reuse, and would leak for the process lifetime).
         self._ctx = {}
+        self._placement_logged = set()
 
     # -- batched blob verification (device pipeline) --------------------------
 
@@ -439,24 +440,31 @@ class JaxBackend(GoldenBackend):
         link_cost = AUTO_RTT_CROSSINGS * rtt + upload_bytes / bw
         budget = AUTO_LINK_BUDGET_FRACTION * host_budget_s
         choose_device = link_cost < budget
-        _logger().info(
-            "placement auto [%s]: n=%d rtt=%.3fms h2d=%.0fMB/s "
-            "link_cost=%.2fms budget=%.2fms -> %s",
-            op,
-            n_blobs,
-            rtt * 1e3,
-            bw / 1e6,
-            link_cost * 1e3,
-            budget * 1e3,
-            "device" if choose_device else "host",
-        )
+        # Log once per distinct (op, n, outcome) — prover loops place one
+        # op per blob and must not pay a log record each (the decision is
+        # deterministic per key while the process-wide link profile holds).
+        key = (op, n_blobs, choose_device)
+        if key not in self._placement_logged:
+            self._placement_logged.add(key)
+            _logger().info(
+                "placement auto [%s]: n=%d rtt=%.3fms h2d=%.0fMB/s "
+                "link_cost=%.2fms budget=%.2fms -> %s",
+                op,
+                n_blobs,
+                rtt * 1e3,
+                bw / 1e6,
+                link_cost * 1e3,
+                budget * 1e3,
+                "device" if choose_device else "host",
+            )
         return choose_device
 
-    def _batch_mesh(self, npad: int):
-        """A blob-axis mesh when >1 device is visible and divides the padded
-        batch; None otherwise (single-device path).  Disable with
-        KZG_TPU_SHARD=0.  The mesh spans the largest power-of-two device
-        count that divides ``npad`` (shard_map needs even shards)."""
+    def _auto_mesh(self, n: int, kind: str):
+        """A 1-D mesh over ``kind`` (blobs/points/domain) when >1 device is
+        visible and divides ``n``; None otherwise (single-device path).
+        Disable with KZG_TPU_SHARD=0.  The mesh spans the largest
+        power-of-two device count that divides ``n`` (shard_map needs even
+        shards)."""
         if os.environ.get("KZG_TPU_SHARD", "auto") == "0":
             return None
         import jax
@@ -465,16 +473,24 @@ class JaxBackend(GoldenBackend):
         if ndev < 2:
             return None
         d = 1
-        while d * 2 <= ndev and npad % (d * 2) == 0:
+        while d * 2 <= ndev and n % (d * 2) == 0:
             d *= 2
         if d < 2:
             return None
-        key = ("batch_mesh", d)
+        key = (kind + "_mesh", d)
         if key not in self._ctx:
             from ..parallel import sharded as S
 
-            self._ctx[key] = S.blobs_mesh(d)
+            factory = {
+                "blobs": S.blobs_mesh,
+                "points": S.default_mesh,
+                "domain": S.domain_mesh,
+            }[kind]
+            self._ctx[key] = factory(d)
         return self._ctx[key]
+
+    def _batch_mesh(self, npad: int):
+        return self._auto_mesh(npad, "blobs")
 
     def _blob_bytes_dev(self, settings, blobs):
         """Blob bytes -> device uint8 [n_blobs, fe, 32] (BE field elements).
@@ -744,26 +760,7 @@ class JaxBackend(GoldenBackend):
         return pk.barycentric_eval(self._fr_ctx(settings), evals, x)
 
     def _domain_mesh(self, n: int):
-        """A domain-axis mesh when >1 device divides the evaluation-domain
-        width; None otherwise.  Disable with KZG_TPU_SHARD=0."""
-        if os.environ.get("KZG_TPU_SHARD", "auto") == "0":
-            return None
-        import jax
-
-        ndev = len(jax.devices())
-        if ndev < 2:
-            return None
-        d = 1
-        while d * 2 <= ndev and n % (d * 2) == 0:
-            d *= 2
-        if d < 2:
-            return None
-        key = ("domain_mesh", d)
-        if key not in self._ctx:
-            from ..parallel import sharded as S
-
-            self._ctx[key] = S.domain_mesh(d)
-        return self._ctx[key]
+        return self._auto_mesh(n, "domain")
 
     def quotient_out_of_domain(self, settings, evals, z: int, y: int):
         from ..ops import protocol_kernels as pk
@@ -811,23 +808,4 @@ class JaxBackend(GoldenBackend):
         return cache["msm"]
 
     def _points_mesh(self, n: int):
-        """A point-axis mesh when >1 device is visible and divides the
-        setup point count; None otherwise.  Disable with KZG_TPU_SHARD=0."""
-        if os.environ.get("KZG_TPU_SHARD", "auto") == "0":
-            return None
-        import jax
-
-        ndev = len(jax.devices())
-        if ndev < 2:
-            return None
-        d = 1
-        while d * 2 <= ndev and n % (d * 2) == 0:
-            d *= 2
-        if d < 2:
-            return None
-        key = ("points_mesh", d)
-        if key not in self._ctx:
-            from ..parallel import sharded as S
-
-            self._ctx[key] = S.default_mesh(d)
-        return self._ctx[key]
+        return self._auto_mesh(n, "points")

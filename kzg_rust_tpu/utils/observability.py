@@ -65,3 +65,19 @@ def device_trace():
     with jax.profiler.trace(trace_dir):
         yield
     logger.info("device_trace done dir=%s", trace_dir)
+
+
+def enable_compile_cache(cache_dir: str = "~/.cache/jax_kzg") -> None:
+    """Point jax's persistent compilation cache at the shared directory.
+
+    The limb-tensor graphs are compile-heavy (minutes each on XLA-CPU,
+    seconds on TPU); persisting every executable (no size or compile-time
+    floor) makes repeat runs — tests, benches, probes, the driver's
+    compile checks — skip XLA entirely.  One helper so the cache location
+    and thresholds live in exactly one place (bench.py, tools/, and
+    __graft_entry__ all call this)."""
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", os.path.expanduser(cache_dir))
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)

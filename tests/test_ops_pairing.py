@@ -172,11 +172,15 @@ def _g1_mont(p):
     return jnp.asarray(xp), jnp.asarray(yp)
 
 
-@pytest.mark.slow_compile
 def test_miller_step_matches_golden_replica():
     """One full Miller iteration (square + tangent line + double, then
     chord line + mixed add) vs the identical algebra computed in golden
-    bigints — an exact differential over the limb/tower kernels."""
+    bigints — an exact differential over the limb/tower kernels.
+
+    Deliberately NOT marked slow_compile: this is the off-TPU gate for the
+    Miller-loop math, so it must run in CI too.  Cold XLA-CPU compile is
+    ~7 min (cached afterwards) — heavy but bounded, unlike the final-exp
+    graphs below."""
     p_g1 = gc.g1_mul(gc.G1_GENERATOR, 11)
     f = rand_fp12()
     t, _t_aff = _rand_proj_g2(5)

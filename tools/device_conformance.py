@@ -39,8 +39,9 @@ def main() -> None:
         [
             sys.executable,
             "-c",
-            "import jax; jax.config.update('jax_compilation_cache_dir', "
-            "__import__('os').path.expanduser('~/.cache/jax_kzg')); "
+            "import jax; "
+            "from kzg_rust_tpu.utils.observability import enable_compile_cache; "
+            "enable_compile_cache(); "
             "print(jax.default_backend()); print(jax.devices())",
         ],
         capture_output=True,

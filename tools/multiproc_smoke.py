@@ -121,10 +121,9 @@ def _real_kernels_cross_process(process_id: int, num: int) -> None:
     from kzg_rust_tpu.utils.domain import compute_roots_of_unity
 
     # Persist compiled executables across the two child processes.
-    jax.config.update(
-        "jax_compilation_cache_dir", os.path.expanduser("~/.cache/jax_kzg")
-    )
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    from kzg_rust_tpu.utils.observability import enable_compile_cache
+
+    enable_compile_cache()
 
     devs = jax.devices()
     ndev = len(devs)

@@ -17,9 +17,9 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
-jax.config.update("jax_compilation_cache_dir", os.path.expanduser("~/.cache/jax_kzg"))
-jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)
+from kzg_rust_tpu.utils.observability import enable_compile_cache
+
+enable_compile_cache()
 
 from kzg_rust_tpu.golden import curve as gc
 from kzg_rust_tpu.golden.field import R
