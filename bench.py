@@ -44,8 +44,8 @@ BATCH_N = 64  # reference's largest criterion batch size
 # (hypervisor contention); best-of-many with a spacing sleep samples enough
 # distinct windows that the reported number reflects the machine, not the
 # neighbors.
-REPEATS = 25
-SPACING_S = 0.25
+REPEATS = 40
+SPACING_S = 0.35
 DEVICE_REPEATS = 5
 # The tunnel's first dispatch has been observed to take ~9 minutes (device
 # discovery + warm-up); give the forced-device child a generous deadline but
