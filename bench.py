@@ -13,10 +13,12 @@ criterion batch size (n=64) — TWICE (VERDICT round-2 item 1):
    SCALING.md "Link placement") that correctly selects the native host
    engine: one n=64 batch cannot cross this link faster than the host
    verifies it outright.
-2. with placement FORCED to the TPU (``KZG_TPU_EVAL=device
-   KZG_TPU_PROVER=device``), in a child process with a deadline so a
-   degraded tunnel cannot hang the bench -> ``device_*`` fields, including
-   ``device_compute_ms`` (end-to-end minus the measured link cost).
+2. with the measured VERIFY path FORCED to the TPU (``KZG_TPU_EVAL=device``;
+   the prover that merely *generates* the batch is pinned to the host with
+   ``KZG_TPU_PROVER=host`` — it is not under measurement), in a child
+   process with a deadline so a degraded tunnel cannot hang the bench ->
+   ``device_*`` fields, including ``device_compute_ms`` (end-to-end minus
+   the measured link cost).
 
 ``vs_baseline``: the reference publishes no numbers (BASELINE.json
 ``"published": {}``) and no Rust toolchain exists here to measure it, so the

@@ -55,11 +55,15 @@ NUM_WINDOWS_GLV32 = 26
 #   m1 ~= k (z^2 - 1) / r  via  floor(k * G1C / 2^SHIFT)
 #   m2' = round(k / r)     ==   1 iff 2k >= r (k is canonical, < r)
 # G1C = round((z^2 - 1) 2^SHIFT / r); with SHIFT = 264 (one full Fr limb
-# vector) the floor-based multiply-high keeps m1 within 1 of the exact
-# Babai rounding, which loosens the halves' bounds to |k1|, |k2| < 2^128
-# (floor < round by one shifts k1 by z^2 ~ 2^127.4) — still 2 bits inside
-# the 26-digit base-32 recoding capacity, and the decomposition itself is
-# exact for ANY integer m1, m2 (see decompose()).
+# vector), m1 = floor(k*G1C/2^264).  Writing the exact Babai coefficients
+# c1 = k(z^2-1)/r, c2 = -k/r, the halves are k1 = e1*z^2 - e2 and
+# k2 = e2*(z^2-1) + e1 with e1 = c1 - m1 and e2 = c2 + m2'.  The floor
+# contributes e1 in [0, 1) and the G1C quantization adds at most
+# k/2^265 < 2^-10, so e1 in (-2^-10, 1 + 2^-10); m2' = round(k/r) gives
+# e2 in (-1/2, 1/2].  Hence |k1| < 1.001*z^2 + 1/2 < 2^128 (z^2 < 2^127.5;
+# numerically verified worst case |k1| ~ 1.0005*z^2) and |k2| < 2^127.5 —
+# both 2 bits inside the 26-digit base-32 recoding capacity (|k| < 2^130),
+# and the decomposition is exact for ANY integer m1, m2 (see decompose()).
 DECOMP_SHIFT = 264
 G1C = ((Z2 - 1) * (1 << DECOMP_SHIFT) + R // 2) // R
 HALF_R_CEIL = (R + 1) // 2

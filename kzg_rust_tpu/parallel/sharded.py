@@ -113,7 +113,10 @@ def _sharded_msm_kernel(table, inf_mask, d1, d2, fold: int, mesh: Mesh):
 
 
 def msm_fixed_base_sharded(ctx: ShardedMsmContext, scalars):
-    """Sharded fixed-base MSM; byte-identical result to the 1-chip path."""
+    """Sharded fixed-base MSM; same group element as the 1-chip path (the
+    per-shard fold + cross-device tree reduce changes the reduction order,
+    so raw projective limbs may differ by a Z-scale; the decoded affine
+    point is identical, which is what callers and tests compare)."""
     d1, d2 = M.recode_glv_host(scalars)
     dig_sharding = NamedSharding(ctx.mesh, P(None, POINTS_AXIS))
     d1 = jax.device_put(jnp.asarray(d1, dtype=jnp.int32), dig_sharding)
@@ -131,8 +134,10 @@ def sharded_commit_kernel(table, inf_mask, blob_bytes, fold: int, mesh: Mesh):
     local gather + mixed-add fold; the [3, l] partials combine with one
     all_gather + tree reduce and the canonicality flags AND-combine the same
     way.  Output: (commitment [3, l] canonical non-Montgomery projective,
-    ok scalar) — byte-identical to the single-device
-    :func:`kzg_rust_tpu.ops.prover_kernels.commit_kernel`.
+    ok scalar) — the same group element as the single-device
+    :func:`kzg_rust_tpu.ops.prover_kernels.commit_kernel` (projective limbs
+    may differ by a Z-scale from the reduction order; the decoded affine
+    point is identical).
     """
     from jax.experimental.shard_map import shard_map
 
