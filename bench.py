@@ -17,8 +17,19 @@ criterion batch size (n=64) — TWICE (VERDICT round-2 item 1):
    the prover that merely *generates* the batch is pinned to the host with
    ``KZG_TPU_PROVER=host`` — it is not under measurement), in a child
    process with a deadline so a degraded tunnel cannot hang the bench ->
-   ``device_*`` fields, including ``device_compute_ms`` (end-to-end minus
-   the measured link cost).
+   ``device_*`` fields for n=64 AND n=512 (the at-scale anchor for the
+   horizontal-scaling story, SCALING.md "crossover"), including
+   ``device*_compute_ms`` (end-to-end minus the measured link cost).
+
+Statistics policy (frozen; VERDICT round-3 item 2, criterion-style
+distribution reporting per reference benches/kzg_benches.rs:25-130):
+every placement reports BOTH the best-of and the median (plus p90) over its
+samples.  ``value`` stays the best-of for round-over-round continuity of the
+driver channel; ``median_blobs_per_s`` / ``vs_baseline_median`` are the
+selection-bias-free statistics and are what round-over-round comparisons
+should use.  REPEATS is FROZEN at 40 — sampling more contention windows
+inflates a best-of monotonically, so it must not be raised; the median is
+the contention-robust statistic either way.
 
 ``vs_baseline``: the reference publishes no numbers (BASELINE.json
 ``"published": {}``) and no Rust toolchain exists here to measure it, so the
@@ -33,6 +44,7 @@ from __future__ import annotations
 import json
 import os
 import random
+import statistics
 import subprocess
 import sys
 import time
@@ -43,16 +55,21 @@ sys.path.insert(0, ROOT)
 BASELINE_BLOBS_PER_S = 400.0  # documented estimate, see module docstring
 BATCH_N = 64  # reference's largest criterion batch size
 # The bench host's effective CPU speed oscillates 2-6x on a seconds scale
-# (hypervisor contention); best-of-many with a spacing sleep samples enough
-# distinct windows that the reported number reflects the machine, not the
-# neighbors.
+# (hypervisor contention); sampling many windows with a spacing sleep makes
+# the MEDIAN reflect the machine's typical speed and the best-of its ceiling.
+# FROZEN at 40 (see module docstring) — do not raise.
 REPEATS = 40
 SPACING_S = 0.35
 DEVICE_REPEATS = 5
+DEVICE_BATCH_NS = (64, 512)  # n=64 (reference max) + n=512 (at-scale anchor)
 # The tunnel's first dispatch has been observed to take ~9 minutes (device
 # discovery + warm-up); give the forced-device child a generous deadline but
-# never let it hang the bench channel.
+# never let it hang the bench channel.  A COLD compile cache adds full XLA
+# compiles of every batch shape on top of discovery, so the deadline scales
+# with measured cache coldness instead of silently erasing the round's TPU
+# evidence (VERDICT round-3 item 9).
 DEVICE_TIMEOUT_S = float(os.environ.get("KZG_BENCH_DEVICE_TIMEOUT", "1500"))
+COLD_CACHE_EXTRA_S = float(os.environ.get("KZG_BENCH_COLD_EXTRA", "1800"))
 
 
 def _enable_compile_cache():
@@ -61,12 +78,23 @@ def _enable_compile_cache():
     enable_compile_cache()
 
 
+def _cache_is_cold() -> bool:
+    """True when the persistent compile cache has no entries yet."""
+    from kzg_rust_tpu.utils.observability import compile_cache_dir
+
+    d = compile_cache_dir()
+    try:
+        return not any(os.scandir(d))
+    except OSError:
+        return True
+
+
 def random_blob(rng: random.Random, n_fe: int) -> bytes:
     # Canonical field elements: zero the top byte (reference: benches:14-23).
     return b"".join(b"\x00" + rng.randbytes(31) for _ in range(n_fe))
 
 
-def _build_batch():
+def _build_batch(batch_n: int = BATCH_N):
     from kzg_rust_tpu import Blob, Kzg
 
     settings = Kzg.load_trusted_setup_file(
@@ -75,7 +103,7 @@ def _build_batch():
     n_fe = settings.preset.field_elements_per_blob
     rng = random.Random(0xBEEF)
     blobs, commitments, proofs = [], [], []
-    for _ in range(BATCH_N):
+    for _ in range(batch_n):
         blob = Blob(random_blob(rng, n_fe))
         c = Kzg.blob_to_kzg_commitment(blob, settings)
         p = Kzg.compute_blob_kzg_proof(blob, c, settings)
@@ -83,6 +111,12 @@ def _build_batch():
         commitments.append(c)
         proofs.append(p)
     return settings, blobs, commitments, proofs
+
+
+def _stats(samples):
+    """Per-sample wall times -> (best, median, p90) seconds."""
+    s = sorted(samples)
+    return s[0], statistics.median(s), s[min(len(s) - 1, int(0.9 * len(s)))]
 
 
 def device_probe() -> None:
@@ -105,36 +139,37 @@ def device_probe() -> None:
     if backend == "cpu":
         print(json.dumps({"device_error": "no accelerator attached (cpu backend)"}))
         return
-    settings, blobs, commitments, proofs = _build_batch()
-    # Warm-up: compile + upload paths.
-    assert Kzg.verify_blob_kzg_proof_batch(blobs, commitments, proofs, settings) is True
-    best = float("inf")
-    for _ in range(DEVICE_REPEATS):
-        t0 = time.perf_counter()
-        ok = Kzg.verify_blob_kzg_proof_batch(blobs, commitments, proofs, settings)
-        dt = time.perf_counter() - t0
-        assert ok is True
-        best = min(best, dt)
+    out = {"device": str(jax.devices()[0])}
+    settings, blobs, commitments, proofs = _build_batch(max(DEVICE_BATCH_NS))
     rtt, bw = link_profile()
-    upload = BATCH_N * (settings.preset.bytes_per_blob + 96)
-    link_cost = AUTO_RTT_CROSSINGS * rtt + upload / bw
-    print(
-        json.dumps(
-            {
-                "device": str(jax.devices()[0]),
-                "device_blobs_per_s": round(BATCH_N / best, 2),
-                "device_e2e_ms": round(best * 1e3, 2),
-                "device_compute_ms": round(max(best - link_cost, 0.0) * 1e3, 2),
-                "device_link_rtt_ms": round(rtt * 1e3, 3),
-                "device_h2d_MBps": round(bw / 1e6, 1),
-            }
-        )
-    )
+    out["device_link_rtt_ms"] = round(rtt * 1e3, 3)
+    out["device_h2d_MBps"] = round(bw / 1e6, 1)
+    for bn in DEVICE_BATCH_NS:
+        b, c, p = blobs[:bn], commitments[:bn], proofs[:bn]
+        # Warm-up: compile + upload paths for this batch shape.
+        assert Kzg.verify_blob_kzg_proof_batch(b, c, p, settings) is True
+        samples = []
+        for _ in range(DEVICE_REPEATS):
+            t0 = time.perf_counter()
+            ok = Kzg.verify_blob_kzg_proof_batch(b, c, p, settings)
+            samples.append(time.perf_counter() - t0)
+            assert ok is True
+        best, med, p90 = _stats(samples)
+        upload = bn * (settings.preset.bytes_per_blob + 96)
+        link_cost = AUTO_RTT_CROSSINGS * rtt + upload / bw
+        pre = "device" if bn == BATCH_N else f"device_n{bn}"
+        out[f"{pre}_blobs_per_s"] = round(bn / best, 2)
+        out[f"{pre}_e2e_ms"] = round(best * 1e3, 2)
+        out[f"{pre}_median_ms"] = round(med * 1e3, 2)
+        out[f"{pre}_p90_ms"] = round(p90 * 1e3, 2)
+        out[f"{pre}_compute_ms"] = round(max(best - link_cost, 0.0) * 1e3, 2)
+    print(json.dumps(out))
 
 
 def main() -> None:
     os.environ.setdefault("KZG_TPU_BACKEND", "jax")
     _enable_compile_cache()
+    device_cold = _cache_is_cold()
 
     from kzg_rust_tpu import Kzg
 
@@ -143,32 +178,42 @@ def main() -> None:
     # Warm-up (compile + cache all jitted paths).
     assert Kzg.verify_blob_kzg_proof_batch(blobs, commitments, proofs, settings) is True
 
-    best = float("inf")
+    samples = []
     for i in range(REPEATS):
         if i:
             time.sleep(SPACING_S)
         t0 = time.perf_counter()
         ok = Kzg.verify_blob_kzg_proof_batch(blobs, commitments, proofs, settings)
-        dt = time.perf_counter() - t0
+        samples.append(time.perf_counter() - t0)
         assert ok is True
-        best = min(best, dt)
+    best, med, p90 = _stats(samples)
     blobs_per_s = BATCH_N / best
+    median_blobs_per_s = BATCH_N / med
 
     out = {
         "metric": f"verify_blob_kzg_proof_batch throughput (n={BATCH_N}, mainnet)",
         "value": round(blobs_per_s, 2),
         "unit": "blobs/s",
         "vs_baseline": round(blobs_per_s / BASELINE_BLOBS_PER_S, 4),
+        "median_blobs_per_s": round(median_blobs_per_s, 2),
+        "vs_baseline_median": round(median_blobs_per_s / BASELINE_BLOBS_PER_S, 4),
+        "best_ms": round(best * 1e3, 2),
+        "median_ms": round(med * 1e3, 2),
+        "p90_ms": round(p90 * 1e3, 2),
+        "repeats": REPEATS,
         "placement_auto": os.environ.get("KZG_TPU_EVAL", "auto"),
     }
 
     # Forced-device measurement in a deadlined child (a degraded tunnel must
-    # not hang the bench channel; the child's compile cache is shared).
+    # not hang the bench channel; the child's compile cache is shared).  A
+    # cold cache gets a larger deadline — the child pays full XLA compiles
+    # before its first dispatch.
+    deadline = DEVICE_TIMEOUT_S + (COLD_CACHE_EXTRA_S if device_cold else 0.0)
     try:
         proc = subprocess.run(
             [sys.executable, os.path.abspath(__file__), "--device-probe"],
             capture_output=True,
-            timeout=DEVICE_TIMEOUT_S,
+            timeout=deadline,
             cwd=ROOT,
         )
         line = proc.stdout.decode(errors="replace").strip().splitlines()
@@ -183,7 +228,9 @@ def main() -> None:
             tail = proc.stderr.decode(errors="replace")[-300:]
             parsed = {"device_error": f"probe rc={proc.returncode}: {tail}"}
     except subprocess.TimeoutExpired:
-        parsed = {"device_error": f"probe exceeded {DEVICE_TIMEOUT_S:.0f}s deadline"}
+        parsed = {"device_error": f"probe exceeded {deadline:.0f}s deadline"}
+    if device_cold:
+        parsed["device_cache_cold"] = True
     out.update(parsed)
 
     print(json.dumps(out))

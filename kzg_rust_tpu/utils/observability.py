@@ -67,7 +67,16 @@ def device_trace():
     logger.info("device_trace done dir=%s", trace_dir)
 
 
-def enable_compile_cache(cache_dir: str = "~/.cache/jax_kzg") -> None:
+def compile_cache_dir() -> str:
+    """The persistent-compile-cache directory: ``KZG_TPU_COMPILE_CACHE`` if
+    set (lets tools and tests point at a fresh directory to exercise the
+    cold-cache path deliberately), else ``~/.cache/jax_kzg``."""
+    return os.path.expanduser(
+        os.environ.get("KZG_TPU_COMPILE_CACHE", "~/.cache/jax_kzg")
+    )
+
+
+def enable_compile_cache(cache_dir: str | None = None) -> None:
     """Point jax's persistent compilation cache at the shared directory.
 
     The limb-tensor graphs are compile-heavy (minutes each on XLA-CPU,
@@ -78,6 +87,8 @@ def enable_compile_cache(cache_dir: str = "~/.cache/jax_kzg") -> None:
     __graft_entry__ all call this)."""
     import jax
 
+    if cache_dir is None:
+        cache_dir = compile_cache_dir()
     jax.config.update("jax_compilation_cache_dir", os.path.expanduser(cache_dir))
     jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)
