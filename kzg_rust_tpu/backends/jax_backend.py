@@ -21,6 +21,13 @@ import numpy as np
 from .. import hostcrypto
 from ..errors import BadArgs
 from .golden_backend import GoldenBackend
+from ..messages import (
+    MSG_BLOB_LENGTH,
+    MSG_EXPECT_48,
+    MSG_INVALID_BYTES32,
+    MSG_INVALID_COMPRESSED_G1,
+    MSG_NOT_IN_SUBGROUP,
+)
 
 
 def _pow2_pad(n: int, lo: int = 2) -> int:
@@ -244,16 +251,16 @@ class JaxBackend(GoldenBackend):
             if fused is not None:
                 for b in blobs:
                     if len(b) != preset.bytes_per_blob:
-                        raise BadArgs("blob_to_polynomial: invalid blob length")
+                        raise BadArgs(MSG_BLOB_LENGTH)
                 # The native entry reads exactly n*48 bytes per array: a
                 # wrong-length element must raise here, not read past the
                 # joined buffer.
                 for b in commitments_bytes:
                     if len(bytes(b)) != 48:
-                        raise BadArgs("g1_uncompress: expected 48 bytes")
+                        raise BadArgs(MSG_EXPECT_48)
                 for b in proofs_bytes:
                     if len(bytes(b)) != 48:
-                        raise BadArgs("g1_uncompress: expected 48 bytes")
+                        raise BadArgs(MSG_EXPECT_48)
                 comms = b"".join(bytes(b) for b in commitments_bytes)
                 proofs = b"".join(bytes(b) for b in proofs_bytes)
                 if all(isinstance(b, bytes) for b in blobs):
@@ -273,10 +280,10 @@ class JaxBackend(GoldenBackend):
 
         for b in blobs:
             if len(b) != preset.bytes_per_blob:
-                raise BadArgs("blob_to_polynomial: invalid blob length")
+                raise BadArgs(MSG_BLOB_LENGTH)
         for b in list(commitments_bytes) + list(proofs_bytes):
             if len(bytes(b)) != 48:
-                raise BadArgs("g1_uncompress: expected 48 bytes")
+                raise BadArgs(MSG_EXPECT_48)
 
         if bary_native is None:
             # Full device pipeline: points never decompress on host.
@@ -308,7 +315,7 @@ class JaxBackend(GoldenBackend):
         #    in-domain short-circuit is handled on host (kzg.rs:360-362).
         xs_eval, overrides = self._in_domain_overrides(settings, blobs, zs)
         if not hostcrypto.g1_subgroup_batch(points):
-            raise BadArgs("validate_kzg_g1 not in right subgroup")
+            raise BadArgs(MSG_NOT_IN_SUBGROUP)
         ys = bary_native.eval_batch(b"".join(bytes(b) for b in blobs), n, xs_eval)
         for i, y in overrides.items():
             ys[i] = y
@@ -446,11 +453,11 @@ class JaxBackend(GoldenBackend):
 
         flags = np.asarray(pflags)
         if not bool(flags[0]):
-            raise BadArgs("validate_kzg_g1: invalid compressed G1")
+            raise BadArgs(MSG_INVALID_COMPRESSED_G1)
         if not bool(flags[1]):
-            raise BadArgs("validate_kzg_g1 not in right subgroup")
+            raise BadArgs(MSG_NOT_IN_SUBGROUP)
         if not bool(np.asarray(blob_ok)):
-            raise BadArgs("bytes_to_bls_field Invalid Bytes32")
+            raise BadArgs(MSG_INVALID_BYTES32)
         ys = L.limbs_to_ints(np.asarray(ys_dev)[:n])
         for i, y in overrides.items():
             ys[i] = y
@@ -584,7 +591,7 @@ class JaxBackend(GoldenBackend):
         nb = len(blobs)
         for b in blobs:
             if len(b) != settings.preset.bytes_per_blob:
-                raise BadArgs("blob_to_polynomial: invalid blob length")
+                raise BadArgs(MSG_BLOB_LENGTH)
         buf = b"".join(bytes(b) for b in blobs)
         a = np.frombuffer(buf, dtype=np.uint8).reshape(nb, fe, 32)
         return jnp.asarray(a)
@@ -622,7 +629,7 @@ class JaxBackend(GoldenBackend):
         if fused is None:
             return NotImplemented
         if len(blob) != settings.preset.bytes_per_blob:
-            raise BadArgs("blob_to_polynomial: invalid blob length")
+            raise BadArgs(MSG_BLOB_LENGTH)
         if len(commitment_bytes) != 48 or len(proof_bytes) != 48:
             return NotImplemented
         return fused.verify_blob_single(
@@ -654,9 +661,9 @@ class JaxBackend(GoldenBackend):
             native = self._prover_native_ctx(settings)
             if native is not None:
                 if len(blob) != settings.preset.bytes_per_blob:
-                    raise BadArgs("blob_to_polynomial: invalid blob length")
+                    raise BadArgs(MSG_BLOB_LENGTH)
                 if len(bytes(commitment_bytes)) != 48:
-                    raise BadArgs("g1_uncompress: expected 48 bytes")
+                    raise BadArgs(MSG_EXPECT_48)
                 return native.blob_proof(bytes(blob), bytes(commitment_bytes))
         return NotImplemented
 
@@ -690,7 +697,7 @@ class JaxBackend(GoldenBackend):
             native = self._prover_native_ctx(settings)
             if native is not None:
                 if len(blob) != settings.preset.bytes_per_blob:
-                    raise BadArgs("blob_to_polynomial: invalid blob length")
+                    raise BadArgs(MSG_BLOB_LENGTH)
                 return native.commit(bytes(blob))
             if mode == "host":
                 raise RuntimeError("KZG_TPU_PROVER=host but native runtime unavailable")
@@ -716,7 +723,7 @@ class JaxBackend(GoldenBackend):
             out, ok = PR.commit_kernel(ctx.table, ctx.inf_mask, blob_dev, ctx.fold)
         out_host = np.asarray(out)
         if not bool(np.asarray(ok)):
-            raise BadArgs("bytes_to_bls_field Invalid Bytes32")
+            raise BadArgs(MSG_INVALID_BYTES32)
         return C.proj_to_points(out_host[None], mont=False)[0]
 
     def compute_kzg_proof_pipeline(self, settings, blob, z: int):
@@ -736,7 +743,7 @@ class JaxBackend(GoldenBackend):
             native = self._prover_native_ctx(settings)
             if native is not None:
                 if len(blob) != settings.preset.bytes_per_blob:
-                    raise BadArgs("blob_to_polynomial: invalid blob length")
+                    raise BadArgs(MSG_BLOB_LENGTH)
                 return native.prove(bytes(blob), z.to_bytes(32, "big"))
             if mode == "host":
                 raise RuntimeError("KZG_TPU_PROVER=host but native runtime unavailable")
@@ -766,7 +773,7 @@ class JaxBackend(GoldenBackend):
         proof_host = np.asarray(proof)
         y_host = np.asarray(y)
         if not bool(np.asarray(ok)):
-            raise BadArgs("bytes_to_bls_field Invalid Bytes32")
+            raise BadArgs(MSG_INVALID_BYTES32)
         proof_pt = C.proj_to_points(proof_host[None], mont=False)[0]
         return proof_pt, L.limbs_to_int(y_host)
 

@@ -17,6 +17,7 @@ from __future__ import annotations
 from ..errors import BadArgs
 from . import field as f
 from .field import P, R
+from ..messages import MSG_EXPECT_48
 
 # Generators (standard BLS12-381 values; reference stores the same points as
 # Montgomery-form Jacobian limbs in src/consts.rs:47-154).
@@ -349,7 +350,7 @@ def g1_uncompress(data: bytes):
     Raises BadArgs on any malformed encoding.
     """
     if len(data) != 48:
-        raise BadArgs("g1_uncompress: expected 48 bytes")
+        raise BadArgs(MSG_EXPECT_48)
     flags = data[0]
     if not flags & _FLAG_COMPRESSED:
         raise BadArgs("g1_uncompress: uncompressed bit not set")

@@ -17,6 +17,7 @@ conversions (big-endian, canonicality checks) live in
 """
 
 from __future__ import annotations
+from ..messages import MSG_BATCH_INV_ZERO
 
 # The BLS12-381 base-field modulus p (381 bits).
 P = 0x1A0111EA397FE69A4B1BA7B6434BACD764774B84F38512BF6730D2A0F6B0F6241EABFFFEB153FFFFB9FEFFFFFFFFAAAB
@@ -88,7 +89,7 @@ def fr_batch_inv(values: list[int]) -> list[int]:
         acc = (acc * v) % R
         prods.append(acc)
     if acc == 0:
-        raise BadArgs("fr_batch_inv: zero input")
+        raise BadArgs(MSG_BATCH_INV_ZERO)
     inv = pow(acc, -1, R)
     out = [0] * len(values)
     for i in range(len(values) - 1, 0, -1):

@@ -22,6 +22,13 @@ import os
 import subprocess
 import threading
 
+from ..messages import (
+    MSG_EXPECT_48,
+    MSG_INVALID_BYTES32,
+    PROVER_RC_ERRORS,
+    VERIFY_RC_ERRORS,
+)
+
 _REPO_ROOT = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 _SRC = os.path.join(_REPO_ROOT, "native", "kzg_native.cpp")
 _ABI_VERSION = 5
@@ -150,7 +157,7 @@ def g1_uncompress(data: bytes):
 
     lib = _load()
     if len(data) != 48:
-        raise BadArgs("g1_uncompress: expected 48 bytes")
+        raise BadArgs(MSG_EXPECT_48)
     out = (ctypes.c_uint8 * 96)()
     inf = ctypes.c_int()
     rc = lib.kzg_g1_uncompress(bytes(data), out, ctypes.byref(inf))
@@ -170,7 +177,7 @@ def g1_uncompress_batch(datas):
         return []
     joined = b"".join(bytes(d) for d in datas)
     if len(joined) != 48 * n:
-        raise BadArgs("g1_uncompress: expected 48 bytes")
+        raise BadArgs(MSG_EXPECT_48)
     out = (ctypes.c_uint8 * (96 * n))()
     infs = (ctypes.c_uint8 * n)()
     errs = (ctypes.c_uint8 * n)()
@@ -344,7 +351,7 @@ class BaryCtx:
             ctypes.c_void_p(self._handle), blobs_bytes, nb, xs_b, ys
         )
         if rc == 2:
-            raise BadArgs("bytes_to_bls_field Invalid Bytes32")
+            raise BadArgs(MSG_INVALID_BYTES32)
         if rc:
             raise BadArgs(f"barycentric evaluation failed (code {rc})")
         out = bytes(ys)
@@ -376,14 +383,9 @@ class VerifyCtx:
     barycentric evaluations, RLC combination and the single pairing check,
     all inside one GIL-free native region."""
 
-    _ERRORS = {
-        1: "validate_kzg_g1: malformed commitment encoding",
-        2: "bytes_to_bls_field Invalid Bytes32",
-        3: "bytes_to_bls_field Invalid Bytes32",
-        4: "fr_batch_inv: zero input",
-        5: "validate_kzg_g1: malformed proof encoding",
-        6: "validate_kzg_g1 not in right subgroup",
-    }
+    # rc-code -> message contract lives in kzg_rust_tpu.messages (one
+    # source of truth across golden/device/native; tests/test_messages.py).
+    _ERRORS = VERIFY_RC_ERRORS
 
     def __init__(self, roots_of_unity, g2_s, g2_gen, fs_domain: bytes, rc_domain: bytes):
         lib = _load()
@@ -476,13 +478,7 @@ class ProverCtx:
     bucket method the batch verifier uses; results are bit-identical to the
     golden model (differential-tested in tests/test_native.py)."""
 
-    _ERRORS = {
-        1: "validate_kzg_g1: malformed commitment encoding",
-        2: "bytes_to_bls_field Invalid Bytes32",
-        3: "bytes_to_bls_field Invalid Bytes32",
-        4: "fr_batch_inv: zero input",
-        6: "validate_kzg_g1 not in right subgroup",
-    }
+    _ERRORS = PROVER_RC_ERRORS  # shared contract, see kzg_rust_tpu.messages
 
     def __init__(self, roots_of_unity, g1_lagrange, fs_domain: bytes):
         lib = _load()

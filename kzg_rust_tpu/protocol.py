@@ -14,6 +14,7 @@ from .golden import curve
 from .settings import KzgSettings
 from .types import Blob, Bytes32, Bytes48, KzgCommitment, KzgProof
 from .utils import bls_serde as serde
+from .messages import MSG_BLOB_LENGTH
 
 
 def blob_to_polynomial(settings: KzgSettings, blob: bytes) -> list[int]:
@@ -21,7 +22,7 @@ def blob_to_polynomial(settings: KzgSettings, blob: bytes) -> list[int]:
     (reference: kzg.rs:282-291; the length check lives in the reference's
     Blob type, kzg.rs:154-178, and must hold for raw-bytes callers too)."""
     if len(blob) != settings.preset.bytes_per_blob:
-        raise BadArgs("blob_to_polynomial: invalid blob length")
+        raise BadArgs(MSG_BLOB_LENGTH)
     n = settings.preset.field_elements_per_blob
     evals = []
     for i in range(n):

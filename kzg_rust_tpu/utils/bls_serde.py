@@ -19,6 +19,7 @@ from ..presets import (
     Preset,
 )
 from ..types import Bytes32, Bytes48
+from ..messages import MSG_INVALID_BYTES32, MSG_NOT_IN_SUBGROUP
 
 
 def bytes_from_uint64(n: int) -> bytes:
@@ -39,7 +40,7 @@ def bytes_to_bls_field(b: bytes) -> int:
         raise BadArgs("bytes_to_bls_field Invalid Bytes32 length")
     v = int.from_bytes(b, "big")
     if v >= R:
-        raise BadArgs("bytes_to_bls_field Invalid Bytes32")
+        raise BadArgs(MSG_INVALID_BYTES32)
     return v
 
 
@@ -59,7 +60,7 @@ def validate_kzg_g1(b: bytes):
     if p is None:
         return None  # the point at infinity is accepted
     if not hostcrypto.g1_in_subgroup(p):
-        raise BadArgs("validate_kzg_g1 not in right subgroup")
+        raise BadArgs(MSG_NOT_IN_SUBGROUP)
     return p
 
 
