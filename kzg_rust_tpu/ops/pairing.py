@@ -229,15 +229,18 @@ def miller_loop_kernel(xp, yp, qx, qy, active):
 # Final exponentiation (cubed x-chain, mirrors golden/pairing.py)
 # ---------------------------------------------------------------------------
 
-_ABS_X_BITS = _X_BITS  # bits of |x| below the MSB, MSB first
+_ABS_X_BITS = tuple(_X_BITS)  # bits of |x| below the MSB, MSB first
 
 
-@jax.jit
-def _exp_by_x_kernel(m):
-    """m^x (x < 0) via cyclotomic square-and-multiply.  Compiled ONCE and
-    dispatched five times by ``final_exponentiation`` - inlining five copies
-    of this scan into a single program makes XLA compile times explode."""
-    bits = jnp.asarray(np.array(_ABS_X_BITS, dtype=np.uint32))
+@partial(jax.jit, static_argnums=1)
+def _exp_by_x_with_bits(m, abs_x_bits: tuple):
+    """m^(-|x|) for cyclotomic m via square-and-multiply over the given
+    MSB-first bit tuple (below the implicit leading 1), conjugating at the
+    end (the cyclotomic inverse; x < 0).  The exponent bits are a STATIC
+    argument so the structure test can run this exact compiled scan body
+    with a tiny substitute exponent off-TPU (VERDICT round-3 item 5) —
+    production passes ``_ABS_X_BITS``."""
+    bits = jnp.asarray(np.array(abs_x_bits, dtype=np.uint32))
 
     def step(r, bit):
         r = T2.fp12_cyclo_sqr(r)
@@ -248,6 +251,13 @@ def _exp_by_x_kernel(m):
 
     r, _ = lax.scan(step, m, bits)
     return T2.fp12_conj(r)
+
+
+def _exp_by_x_kernel(m):
+    """m^x (x < 0) via cyclotomic square-and-multiply.  Compiled ONCE and
+    dispatched five times by ``final_exponentiation`` - inlining five copies
+    of this scan into a single program makes XLA compile times explode."""
+    return _exp_by_x_with_bits(m, _ABS_X_BITS)
 
 
 @jax.jit
@@ -271,14 +281,35 @@ def _mul_frob_kernel(a, b):
     return T2.fp12_mul(a, T2.fp12_frobenius(b))
 
 
-@jax.jit
-def _hard_tail_kernel(e5, w1, m):
-    """y = e5 * frob^2(w1) * conj(w1);  result = y * m^3; is-one check."""
+def _hard_tail_expr(e5, w1, m):
+    """y = e5 * frob^2(w1) * conj(w1);  result = y * m^3 (the final value
+    of the cubed hard part; golden/pairing.py final_exponentiation)."""
     y = T2.fp12_mul(
         T2.fp12_mul(e5, T2.fp12_frobenius_n(w1, 2)), T2.fp12_conj(w1)
     )
-    out = T2.fp12_mul(y, T2.fp12_mul(T2.fp12_cyclo_sqr(m), m))
-    return T2.fp12_is_one(out)
+    return T2.fp12_mul(y, T2.fp12_mul(T2.fp12_cyclo_sqr(m), m))
+
+
+@jax.jit
+def _hard_tail_kernel(e5, w1, m):
+    return T2.fp12_is_one(_hard_tail_expr(e5, w1, m))
+
+
+_hard_tail_value_kernel = jax.jit(_hard_tail_expr)  # structure-test entry
+
+
+def _final_exp_hard_chain(m, exp_by_x):
+    """The five-exponentiation x-chain of the hard part — m^((x-1)^2),
+    then ^(x+p), then ^(x^2) — returning ``(e5, w1)`` for the tail.  ONE
+    function holds the chain order / conjugation / Frobenius placement;
+    production (``pairings_verify_kernel``) and the tiny-exponent structure
+    test (tests/test_ops_pairing.py) both compose through it, so a
+    composition regression is caught off-TPU."""
+    u = _mul_conj_kernel(exp_by_x(m), m)  # m^(x-1)
+    u = _mul_conj_kernel(exp_by_x(u), u)  # m^((x-1)^2)
+    w1 = _mul_frob_kernel(exp_by_x(u), u)  # ^(x+p)
+    e5 = exp_by_x(exp_by_x(w1))
+    return e5, w1
 
 
 # ---------------------------------------------------------------------------
@@ -294,10 +325,7 @@ def pairings_verify_kernel(xp, yp, qx, qy, active):
     XLA program's compile time bounded.  Returns a scalar bool tensor."""
     f = miller_loop_kernel(xp, yp, qx, qy, active)
     m = _easy_part_kernel(f)
-    u = _mul_conj_kernel(_exp_by_x_kernel(m), m)  # m^(x-1)
-    u = _mul_conj_kernel(_exp_by_x_kernel(u), u)  # m^((x-1)^2)
-    w1 = _mul_frob_kernel(_exp_by_x_kernel(u), u)  # ^(x+p)
-    e5 = _exp_by_x_kernel(_exp_by_x_kernel(w1))
+    e5, w1 = _final_exp_hard_chain(m, _exp_by_x_kernel)
     return _hard_tail_kernel(e5, w1, m)
 
 

@@ -378,3 +378,37 @@ def test_device_pairing_infinity_semantics():
     got = dp.pairings_verify_device(aP, gc.G2_GENERATOR, None, gc.G2_GENERATOR)
     want = gp.pairings_verify(aP, gc.G2_GENERATOR, None, gc.G2_GENERATOR)
     assert got is want
+
+
+def test_final_exp_composition_tiny_exponent():
+    """The EXACT production final-exponentiation composition — the
+    ``_final_exp_hard_chain`` x-chain (five exp-by-x dispatches, the
+    conj/frobenius combines) plus ``_hard_tail_expr`` — run with a tiny
+    substitute exponent and checked against ONE independent golden
+    exponentiation (VERDICT round-3 item 5: the off-TPU gate for
+    composition regressions — chain order, dropped conjugates, Frobenius
+    placement all change the effective exponent polynomial and fail here).
+
+    With |x'| = 6 (bits (1, 0) below the MSB — both select branches
+    exercised), the chain computes m^H for
+    H = (x'-1)^2 (x'+p) (x'^2+p^2-1) + 3 at x' = -6 (negative like the real
+    BLS parameter; exp-by-x conjugates at the end).  Runs EAGERLY
+    (jax.disable_jit): XLA-CPU compile of even a 2-step fp12 scan body is
+    >10 min (measured round 4), while eager evaluation of the same ops is
+    ~2 min and exercises identical code.  Deliberately NOT slow_compile —
+    this is the CI gate.
+    """
+    import jax
+
+    m = _rand_cyclotomic()
+    dm = T2.fp12_from_golden(m)
+    bits = (1, 0)  # |x'| = 0b110 = 6
+    with jax.disable_jit():
+        e5, w1 = dp._final_exp_hard_chain(
+            dm, lambda v: dp._exp_by_x_with_bits(v, bits)
+        )
+        out = dp._hard_tail_value_kernel(e5, w1, dm)
+        got = T2.fp12_to_golden(out)
+    xs = -6
+    H = (xs - 1) ** 2 * (xs + gf.P) * (xs**2 + gf.P**2 - 1) + 3
+    assert got == gf.fp12_pow(m, H)
