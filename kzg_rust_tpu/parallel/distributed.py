@@ -139,3 +139,110 @@ def batch_stage2_kernel_2axis(bases, bases2, digits, gen_table, sy_digits, mesh:
         check_rep=False,
     )
     return fn(bases, bases2, digits, gen_table, sy_digits)
+
+
+# ---------------------------------------------------------------------------
+# 2-axis point-sharded fixed-base MSM (prover scale-out on a real pod)
+# ---------------------------------------------------------------------------
+#
+# The 1-axis ShardedMsmContext (parallel/sharded.py) places the trusted-setup
+# point axis over a flat device list; on a pod that ignores the ICI/DCN
+# distinction.  This variant shards the point axis over host x chip exactly
+# like the batch-verification stages above, and its partial-sum all_gather
+# runs (chip, host) — ICI within a host first, one DCN hop per host
+# (VERDICT round-3 item 7; reference hot kernel: src/utils.rs:399-406).
+
+_POINT_SPEC = (HOST_AXIS, CHIP_AXIS)
+
+
+class ShardedMsmContext2Axis:
+    """GLV fixed-base MSM context whose affine window table is sharded over
+    the (host, chip) mesh (table layout:
+    :func:`kzg_rust_tpu.ops.msm._build_glv_table_kernel`); each device holds
+    ~1/(H*C) of the table (mainnet: ~436 MB / devices)."""
+
+    def __init__(self, n: int, table, inf_mask, fold: int, mesh: Mesh):
+        self.n = n
+        self.mesh = mesh
+        self.fold = fold
+        self.table = table
+        self.inf_mask = inf_mask
+
+    @classmethod
+    def build_from_points(cls, points_affine, mesh: Mesh, fold: int | None = None):
+        from jax.sharding import NamedSharding
+
+        from ..ops import curve as C
+        from ..ops import msm as M
+
+        n = len(points_affine)
+        d = mesh.devices.size
+        if n % d != 0:
+            raise ValueError(f"point count {n} not divisible by mesh size {d}")
+        if fold is None:
+            local_total = 2 * M.GLV_NUM_WINDOWS * (n // d)
+            fold = min(8192, 1 << (local_total.bit_length() - 1))
+        points = C.points_to_jacobian(points_affine)
+        # Build under sharded out-shardings so each device materializes only
+        # its shard (same peak-HBM argument as the 1-axis build).
+        psharding = NamedSharding(mesh, P(_POINT_SPEC, None, None))
+        pts_dev = jax.device_put(jnp.asarray(points), psharding)
+        tsharding = NamedSharding(mesh, P(None, None, _POINT_SPEC, None, None))
+        isharding = NamedSharding(mesh, P(_POINT_SPEC))
+        table, inf_mask = jax.jit(
+            M._build_glv_table_kernel, out_shardings=(tsharding, isharding)
+        )(pts_dev)
+        return cls(n, jax.block_until_ready(table), inf_mask, fold, mesh)
+
+    @classmethod
+    def build(cls, settings, mesh: Mesh, fold: int | None = None):
+        return cls.build_from_points(settings.g1_values, mesh, fold)
+
+
+@partial(jax.jit, static_argnums=(4, 5))
+def _msm_kernel_2axis(table, inf_mask, d1, d2, fold: int, mesh: Mesh):
+    """shard_map over (host, chip): local gather + mixed-add fold per
+    device, all_gather of the [3, l] partials over (chip, host) — ICI
+    first, then DCN — and a small replicated tree reduction (point addition
+    is associative, so the gather order does not change the sum)."""
+    from jax.experimental.shard_map import shard_map
+
+    from ..ops import curve as C
+    from ..ops import msm as M
+
+    def local(table_shard, inf_shard, d1_shard, d2_shard):
+        part = M._msm_core_glv(table_shard, inf_shard, d1_shard, d2_shard, fold)
+        gathered = jax.lax.all_gather(part, (CHIP_AXIS, HOST_AXIS))
+        return C.tree_reduce(gathered.reshape((-1,) + part.shape))
+
+    fn = shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(
+            P(None, None, _POINT_SPEC, None, None),
+            P(_POINT_SPEC),
+            P(None, _POINT_SPEC),
+            P(None, _POINT_SPEC),
+        ),
+        out_specs=P(None, None),
+        check_rep=False,
+    )
+    return fn(table, inf_mask, d1, d2)
+
+
+def msm_fixed_base_2axis(ctx: ShardedMsmContext2Axis, scalars):
+    """2-axis sharded fixed-base MSM; same group element as the 1-chip path
+    (reduction order differs, the decoded affine point is identical)."""
+    from jax.sharding import NamedSharding
+
+    from ..ops import curve as C
+    from ..ops import msm as M
+
+    d1, d2 = M.recode_glv_host(scalars)
+    dig_sharding = NamedSharding(ctx.mesh, P(None, _POINT_SPEC))
+    d1 = jax.device_put(jnp.asarray(d1, dtype=jnp.int32), dig_sharding)
+    d2 = jax.device_put(jnp.asarray(d2, dtype=jnp.int32), dig_sharding)
+    out = _msm_kernel_2axis(ctx.table, ctx.inf_mask, d1, d2, ctx.fold, ctx.mesh)
+    import numpy as np
+
+    return C.jacobian_to_points(np.asarray(out)[None])[0]

@@ -101,3 +101,22 @@ def test_two_process_distributed_smoke():
         if "Unrecognized config option" in out or "collectives" in out.lower():
             pytest.skip("jax build lacks CPU gloo collectives")
     assert proc.returncode == 0 and "MULTIPROC OK" in out, out[-2000:]
+
+
+def test_msm_2axis_on_2x4_host_chip_mesh():
+    """2-axis (host, chip) point-sharded fixed-base MSM vs the golden naive
+    lincomb (VERDICT round-3 item 7): the prover's point axis on a real pod
+    shards over host x chip with the partial-sum all_gather running
+    chip-axis (ICI) first."""
+    rng = random.Random(0x2A815)
+    mesh = D.host_chip_mesh(2, 4)
+    n = 16  # 2 points per device on the 2x4 mesh
+    pts = [gc.g1_mul(gc.G1_GENERATOR, rng.randrange(1, R)) for _ in range(n)]
+    # Include an infinity point and a zero scalar: the masked-gather edge
+    # cases must survive the 2-axis sharding too.
+    pts[3] = None
+    scalars = [rng.randrange(R) for _ in range(n)]
+    scalars[5] = 0
+    ctx = D.ShardedMsmContext2Axis.build_from_points(pts, mesh, fold=16)
+    got = D.msm_fixed_base_2axis(ctx, scalars)
+    assert got == gc.g1_lincomb_naive(pts, scalars)
