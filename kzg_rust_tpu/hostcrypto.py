@@ -49,9 +49,11 @@ def g1_compress(p) -> bytes:
 
 
 def g2_uncompress(data: bytes):
-    # Needs Fp2 Tonelli-Shanks; only runs during setup load (65 points,
-    # disk-cached afterwards) - stays on the golden path.
-    return _gc.g2_uncompress(data)
+    # Native Fp2 sqrt (eprint 2012/685 alg 9) when the engine is built,
+    # golden Tonelli-Shanks otherwise; setup-time only (65 points,
+    # disk-cached afterwards).
+    n = _nat()
+    return n.g2_uncompress(data) if n is not None else _gc.g2_uncompress(data)
 
 
 def g1_in_subgroup(p) -> bool:

@@ -31,7 +31,7 @@ from ..messages import (
 
 _REPO_ROOT = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 _SRC = os.path.join(_REPO_ROOT, "native", "kzg_native.cpp")
-_ABI_VERSION = 5
+_ABI_VERSION = 6
 
 _lib = None
 _lib_lock = threading.Lock()
@@ -188,6 +188,32 @@ def g1_uncompress_batch(datas):
     for i in range(n):
         res.append(_g1_from_bytes(out[96 * i : 96 * (i + 1)], infs[i]))
     return res
+
+
+_G2_UNCOMPRESS_ERRORS = {
+    2: "g2_uncompress: uncompressed bit not set",
+    3: "g2_uncompress: bad infinity encoding",
+    4: "g2_uncompress: x out of range",
+    5: "g2_uncompress: point not on curve",
+}
+
+
+def g2_uncompress(data: bytes):
+    """96-byte ZCash-format G2 decode (reference: blst_p2_uncompress at
+    kzg.rs:876): native Fp2 sqrt (eprint 2012/685 alg 9) instead of the
+    golden Tonelli-Shanks — same points, same error strings (differential:
+    tests/test_native.py)."""
+    from ..errors import BadArgs
+
+    lib = _load()
+    if len(data) != 96:
+        raise BadArgs("g2_uncompress: expected 96 bytes")
+    out = (ctypes.c_uint8 * 192)()
+    inf = ctypes.c_int()
+    rc = lib.kzg_g2_uncompress(bytes(data), out, ctypes.byref(inf))
+    if rc:
+        raise BadArgs(_G2_UNCOMPRESS_ERRORS.get(rc, f"g2_uncompress failed ({rc})"))
+    return _g2_from_bytes(out, inf.value)
 
 
 def g1_compress(p) -> bytes:

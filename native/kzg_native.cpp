@@ -942,6 +942,55 @@ static inline bool fp2_eq(const Fp2 &x, const Fp2 &y) {
   return fp_eq(x.a, y.a) && fp_eq(x.b, y.b);
 }
 
+// Fp2 exponentiation by a 6-limb (<= 384-bit) exponent, MSB-first binary.
+static Fp2 fp2_pow_limbs(const Fp2 &a, const u64 e[6]) {
+  Fp2 r = {FP_ONE_M, FP_ZERO};
+  for (int i = 5; i >= 0; --i)
+    for (int bit = 63; bit >= 0; --bit) {
+      r = fp2_sqr(r);
+      if ((e[i] >> bit) & 1) r = fp2_mul(r, a);
+    }
+  return r;
+}
+
+// Fp2 square root for p == 3 (mod 4) (eprint 2012/685 algorithm 9, the
+// complex-extension shortcut; golden oracle: golden/field.py fp2_sqrt uses
+// generic Tonelli-Shanks - differentially tested in tests/test_native.py):
+//   a1 = a^((p-3)/4); x0 = a1*a; alpha = a1*x0 = a^((p-1)/2)
+//   alpha == -1  ->  sqrt = u * x0
+//   else         ->  sqrt = (alpha + 1)^((p-1)/2) * x0
+// The candidate is verified by squaring, so a non-residue returns false
+// regardless of which branch produced it.
+static bool fp2_sqrt(const Fp2 &a, Fp2 &out) {
+  if (fp2_is_zero(a)) {
+    out = a;
+    return true;
+  }
+  u64 e1[6], e2[6], t[6];
+  // e2 = (p-1)/2 ; e1 = (p-3)/4  (p odd, p == 3 mod 4: exact shifts).
+  for (int i = 0; i < 6; ++i) t[i] = FP.mod[i];
+  t[0] -= 1;  // p odd: no borrow
+  for (int i = 0; i < 6; ++i)
+    e2[i] = (t[i] >> 1) | (i + 1 < 6 ? (t[i + 1] << 63) : 0);
+  t[0] -= 2;  // p == 3 mod 4: low limb >= 3, no borrow
+  for (int i = 0; i < 6; ++i)
+    e1[i] = (t[i] >> 2) | (i + 1 < 6 ? (t[i + 1] << 62) : 0);
+  Fp2 a1 = fp2_pow_limbs(a, e1);
+  Fp2 x0 = fp2_mul(a1, a);
+  Fp2 alpha = fp2_mul(a1, x0);
+  Fp2 neg_one = {fp_neg(FP_ONE_M), FP_ZERO};
+  Fp2 x;
+  if (fp2_eq(alpha, neg_one)) {
+    x = {fp_neg(x0.b), x0.a};  // u * x0 (u^2 = -1)
+  } else {
+    Fp2 b = fp2_pow_limbs(fp2_add(alpha, {FP_ONE_M, FP_ZERO}), e2);
+    x = fp2_mul(b, x0);
+  }
+  if (!fp2_eq(fp2_sqr(x), a)) return false;
+  out = x;
+  return true;
+}
+
 struct Fp6 {
   Fp2 a, b, c;
 };
@@ -2043,7 +2092,7 @@ extern "C" {
 
 int kzg_native_abi_version() {
   ensure_init();
-  return 5;
+  return 6;
 }
 
 // ---- G1 serialization / validation ----------------------------------------
@@ -2100,6 +2149,50 @@ int kzg_g1_add(const u8 *pxy, int pinf, const u8 *qxy, int qinf,
   if (negate_q && !q.inf) q.y = fp_neg(q.y);
   G1Aff r = g1_to_aff(g1_add_jac(g1_from_aff(p), g1_from_aff(q)));
   g1aff_to_bytes(r, out_xy, out_inf);
+  return 0;
+}
+
+// G2 ZCash-format uncompression (reference: blst_p2_uncompress at
+// kzg.rs:874-887; golden oracle: golden/curve.py g2_uncompress).  in: 96B
+// compressed (x = c1 || c0, flags in byte 0); out: 192B affine BE
+// (x0, x1, y0, y1).  ret: 0 ok, 2 uncompressed bit not set, 3 bad infinity
+// encoding, 4 x out of range, 5 not on curve.
+int kzg_g2_uncompress(const u8 *in, u8 *out_xy, int *out_inf) {
+  ensure_init();
+  if (!(in[0] & 0x80)) return 2;
+  if (in[0] & 0x40) {
+    if (in[0] != 0xC0) return 3;
+    for (int i = 1; i < 96; ++i)
+      if (in[i]) return 3;
+    *out_inf = 1;
+    memset(out_xy, 0, 192);
+    return 0;
+  }
+  u8 x1be[48];
+  memcpy(x1be, in, 48);
+  x1be[0] &= 0x1F;
+  Fp2 x;
+  if (!fp_from_be(x1be, x.b)) return 4;      // c1 (high half)
+  if (!fp_from_be(in + 48, x.a)) return 4;   // c0 (low half)
+  Fp2 y2 = fp2_add(fp2_mul(fp2_sqr(x), x), FP2_B4);
+  Fp2 y;
+  if (!fp2_sqrt(y2, y)) return 5;
+  // Sign bit: y lexicographically largest in (c1, c0) canonical order.
+  Fp2 neg = fp2_neg(y);
+  u64 yb[6], ya[6], nb[6], na[6];
+  from_mont<6>(FP, y.b.v, yb);
+  from_mont<6>(FP, y.a.v, ya);
+  from_mont<6>(FP, neg.b.v, nb);
+  from_mont<6>(FP, neg.a.v, na);
+  int cb = cmp_n<6>(yb, nb);
+  bool larger = cb > 0 || (cb == 0 && cmp_n<6>(ya, na) > 0);
+  bool sign = (in[0] & 0x20) != 0;
+  if (larger != sign) y = neg;
+  fp_to_be(x.a, out_xy);
+  fp_to_be(x.b, out_xy + 48);
+  fp_to_be(y.a, out_xy + 96);
+  fp_to_be(y.b, out_xy + 144);
+  *out_inf = 0;
   return 0;
 }
 

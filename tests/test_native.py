@@ -304,3 +304,56 @@ def test_prover_ctx_matches_golden():
     # non-canonical blob element must raise
     with pytest.raises(BadArgs):
         ctx.commit(b"\xff" * 32 + blobs[0][32:])
+
+
+def test_g2_uncompress_differential():
+    """Native Fp2-sqrt G2 uncompression vs golden Tonelli-Shanks
+    (VERDICT round-3 item 10: the last blst capability without a fast
+    path): random points both sign bits, infinity, and every error class
+    with the exact golden error strings."""
+    rng = random.Random(0x62C0)
+    for i in range(24):
+        p = gc.g2_mul(gc.G2_GENERATOR, rng.randrange(1, gc.R))
+        comp = gc.g2_compress(p)
+        got = nat.g2_uncompress(comp)
+        assert got == gc.g2_uncompress(comp) == p, i
+    inf = b"\xc0" + b"\x00" * 95
+    assert nat.g2_uncompress(inf) is None
+
+    cases = [
+        b"\x00" * 96,                    # uncompressed bit not set
+        b"\xc0" + b"\x01" + b"\x00" * 94,  # bad infinity encoding
+        b"\xe0" + b"\x00" * 95,          # infinity with sign bit set
+        b"\x9f" + b"\xff" * 95,          # x out of range (c1 >= p)
+        b"\x80" + b"\x00" * 95,          # x = 0 -> y^2 = b, not a residue?
+        b"\x80" + b"\x00" * 46 + b"\x01" + b"\x00" * 48,  # random x off curve
+        b"\x12" * 96,                    # garbage
+    ]
+    for data in cases:
+        try:
+            want = gc.g2_uncompress(data)
+            want_err = None
+        except BadArgs as e:
+            want_err = str(e)
+        if want_err is None:
+            assert nat.g2_uncompress(data) == want
+        else:
+            with pytest.raises(BadArgs) as ei:
+                nat.g2_uncompress(data)
+            assert str(ei.value) == want_err, data[:2]
+    with pytest.raises(BadArgs):
+        nat.g2_uncompress(b"\x00" * 95)  # wrong length
+
+
+def test_g2_uncompress_setup_points():
+    """All 65 mainnet setup G2 points decode identically native vs golden."""
+    import pathlib
+
+    lines = pathlib.Path("data/trusted_setup.txt").read_text().splitlines()
+    n_g1 = int(lines[0])
+    n_g2 = int(lines[1])
+    g2_hex = lines[2 + n_g1 : 2 + n_g1 + n_g2]
+    assert len(g2_hex) == 65
+    for h in g2_hex:
+        data = bytes.fromhex(h)
+        assert nat.g2_uncompress(data) == gc.g2_uncompress(data)
