@@ -280,7 +280,71 @@ def fold_reduce(points, fold: int):
     return buf[0]
 
 
-def fold_reduce_mixed(points_aff, valid, fold: int):
+def affine_pair_add(p_aff, q_aff, v1, v2):
+    """Complete-by-masking AFFINE pairwise addition over [M, 2, l] halves
+    with validity masks — Montgomery-batched inversion shared across the
+    full lane width (one product tree + ONE Fermat inversion per call), so
+    each both-valid add costs ~4 multiplies plus a ~3-multiply inversion
+    share, versus 11M for the mixed projective add (VERDICT round-4
+    item 3; reference hot kernel: utils.rs:367-410).
+
+    Cases (exactness relies on table points never having y = 0 — the G1
+    cofactor is odd, so no 2-torsion exists on the curve):
+      both valid, x1 != x2          chord:    lam = (y2-y1)/(x2-x1)
+      both valid, equal points      tangent:  lam = 3 x1^2 / (2 y1)
+      both valid, P + (-P)          result invalid (infinity)
+      one valid                     passthrough of the valid half
+      none valid                    invalid
+    Returns ``(out_aff [M, 2, l], out_valid [M])``.
+    """
+    x1, y1 = p_aff[..., 0, :], p_aff[..., 1, :]
+    x2, y2 = q_aff[..., 0, :], q_aff[..., 1, :]
+    both = v1 & v2
+    samex = L.eq(x1, x2) & both
+    dbl = samex & L.eq(y1, y2)
+    kill = samex & ~L.eq(y1, y2)  # P + (-P)
+
+    two_y1 = L.add_mod(FP, y1, y1)
+    den = L.select(dbl, two_y1, L.sub_mod(FP, x2, x1))
+    # Lanes whose denominator is zero (kill lanes, invalid-garbage lanes)
+    # would zero the whole product tree; substitute mont(1).
+    usable = both & ~kill
+    den = L.select(usable, den, jnp.broadcast_to(jnp.asarray(FP.one_mont), den.shape))
+    dinv = L.batch_mont_inv(FP, den, axis=0)
+
+    xx = L.mont_mul(FP, x1, x1)
+    three_xx = L.add_mod(FP, L.add_mod(FP, xx, xx), xx)
+    num = L.select(dbl, three_xx, L.sub_mod(FP, y2, y1))
+    lam = L.mont_mul(FP, num, dinv)
+    x3 = L.sub_mod(FP, L.sub_mod(FP, L.mont_mul(FP, lam, lam), x1), x2)
+    y3 = L.sub_mod(FP, L.mont_mul(FP, lam, L.sub_mod(FP, x1, x3)), y1)
+    added = jnp.stack([x3, y3], axis=-2)
+
+    out = point2_select(usable, added, point2_select(v1, p_aff, q_aff))
+    return out, (v1 | v2) & ~kill
+
+
+def point2_select(mask, p, q):
+    """where(mask, p, q) for [., 2, l] affine pairs."""
+    return jnp.where(mask[..., None, None], p, q)
+
+
+def affine_tree_levels(points_aff, valid, k: int):
+    """k binary-tree levels of :func:`affine_pair_add` over [N, 2, l]
+    (N must stay even through every level): halves the lane count per
+    level at ~7 effective multiplies per surviving add (vs 11M mixed),
+    paying one Fermat inversion per level — the measured trade is in
+    SCALING.md ("MSM batched-affine fold", round 4)."""
+    for _ in range(k):
+        n = points_aff.shape[0]
+        assert n % 2 == 0, "affine tree level needs an even lane count"
+        points_aff, valid = affine_pair_add(
+            points_aff[0::2], points_aff[1::2], valid[0::2], valid[1::2]
+        )
+    return points_aff, valid
+
+
+def fold_reduce_mixed(points_aff, valid, fold: int, aff_levels: int = 0):
     """Sum ``[N, 2, nlimbs]`` AFFINE Montgomery points (lanes with
     ``valid == False`` are skipped) to one projective point.
 
@@ -292,9 +356,16 @@ def fold_reduce_mixed(points_aff, valid, fold: int):
     costs one masked select instead of a point add.  Garbage in invalid
     lanes is safe as long as the limbs are canonical (the formulas stay in
     range; the result is discarded by the select).
+
+    ``aff_levels > 0`` first pre-reduces with that many Montgomery-batched
+    affine tree levels (:func:`affine_tree_levels`): ~7 effective muls per
+    add instead of 11, at one Fermat inversion of sequential depth per
+    level — measured trade in SCALING.md ("MSM batched-affine fold").
     """
     from jax import lax
 
+    if aff_levels:
+        points_aff, valid = affine_tree_levels(points_aff, valid, aff_levels)
     n = points_aff.shape[0]
     assert fold >= 2 and (fold & (fold - 1)) == 0, "fold must be a power of 2"
     if n % fold != 0 or n < fold:

@@ -199,14 +199,16 @@ def glv_digits_from_limbs(limbs):
 # ---------------------------------------------------------------------------
 
 
-def _msm_core_glv(table, inf_mask, d1, d2, fold: int):
+def _msm_core_glv(table, inf_mask, d1, d2, fold: int, aff_levels: int = 0):
     """table [26, 16, N, 2, l] affine + inf_mask [N], digits [26, N] int32
     -> one projective Montgomery point [3, l].
 
     Gather the digit-selected multiple per (window, point) for both GLV
     halves (the phi half scales X by beta — phi commutes with doubling and
     negation, so twisting the table entry is exact), then one masked
-    mixed-add fold over all 52*N selections.
+    mixed-add fold over all 52*N selections.  ``aff_levels`` pre-reduces
+    with Montgomery-batched affine tree levels first (see
+    :func:`kzg_rust_tpu.ops.curve.fold_reduce_mixed`).
     """
     n = table.shape[2]
     nl = table.shape[-1]
@@ -237,10 +239,10 @@ def _msm_core_glv(table, inf_mask, d1, d2, fold: int):
     p2, v2 = gather(d2, True)
     pts = jnp.stack([p1, p2], axis=0).reshape(2 * GLV_NUM_WINDOWS * n, 2, nl)
     valid = jnp.stack([v1, v2], axis=0).reshape(-1)
-    return C.fold_reduce_mixed(pts, valid, fold)
+    return C.fold_reduce_mixed(pts, valid, fold, aff_levels)
 
 
-_msm_glv_kernel = partial(jax.jit, static_argnums=4)(_msm_core_glv)
+_msm_glv_kernel = partial(jax.jit, static_argnums=(4, 5))(_msm_core_glv)
 
 
 class MsmContext:

@@ -78,3 +78,56 @@ def test_chained_adds_match_scalar_mul():
         arr = dc.jacobian_double(arr)
     got = dc.jacobian_to_points(arr)[0]
     assert got == gc.g1_mul(p, 1 << 10)
+
+
+def test_affine_tree_levels_vs_mixed_fold():
+    """Batched-affine pre-reduction (VERDICT round-4 item 3) == the plain
+    mixed fold on every special case: duplicate points (tangent path),
+    P + (-P) (infinity), invalid lanes in both slots, and ordinary chords.
+    """
+    import jax.numpy as jnp
+    import numpy as np
+
+    from kzg_rust_tpu.golden import curve as gc
+    from kzg_rust_tpu.ops import curve as C
+    from kzg_rust_tpu.ops import limbs as L
+    from kzg_rust_tpu.ops.fields import FP
+
+    rng = random.Random(0xAFF1)
+    rr = FP.mont_r
+
+    def aff(p):
+        out = np.zeros((2, FP.nlimbs), np.uint32)
+        if p is not None:
+            out[0] = L.int_to_limbs(FP.nlimbs, (p[0] * rr) % gc.P)
+            out[1] = L.int_to_limbs(FP.nlimbs, (p[1] * rr) % gc.P)
+        return out
+
+    pts = [gc.g1_mul(gc.G1_GENERATOR, rng.randrange(1, gc.R)) for _ in range(10)]
+    entries = [
+        (pts[0], True), (pts[1], True),            # chord
+        (pts[2], True), (pts[2], True),            # duplicate -> tangent
+        (pts[3], True), (gc.g1_neg(pts[3]), True), # P + (-P) -> infinity
+        (None, False), (pts[4], True),             # invalid left
+        (pts[5], True), (None, False),             # invalid right
+        (None, False), (None, False),              # both invalid
+        (pts[6], True), (pts[7], True),
+        (pts[8], True), (pts[9], True),
+    ]
+    arr = jnp.asarray(np.stack([aff(p) for p, _ in entries]))
+    valid = jnp.asarray(np.array([v for _, v in entries]))
+
+    want = C.proj_to_points(
+        np.asarray(C.fold_reduce_mixed(arr, valid, 4))[None]
+    )[0]
+    for k in (1, 2):
+        got = C.proj_to_points(
+            np.asarray(C.fold_reduce_mixed(arr, valid, 4, aff_levels=k))[None]
+        )[0]
+        assert got == want, k
+    # golden cross-check of the whole sum
+    gsum = None
+    for p, v in entries:
+        if v:
+            gsum = gc.g1_add(gsum, p) if gsum is not None else p
+    assert want == gsum
