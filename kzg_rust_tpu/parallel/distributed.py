@@ -83,7 +83,7 @@ _BLOB_SPEC = (HOST_AXIS, CHIP_AXIS)
 def batch_points_kernel_2axis(comp_bytes, mesh: Mesh):
     """2-axis version of ``sharded.sharded_batch_points_kernel``: stage 1 of
     batch verification with the point rows sharded over host x chip."""
-    from jax.experimental.shard_map import shard_map
+    from ._compat import shard_map
 
     from ..ops import verify_kernels as V
 
@@ -111,7 +111,7 @@ def batch_stage2_kernel_2axis(bases, bases2, digits, gen_table, sy_digits, mesh:
     """2-axis version of ``sharded.sharded_batch_stage2_kernel``: each device
     reduces its own blobs' lanes; the [2, 3, l] partials all_gather over
     (chip, host) — ICI first, DCN once per host."""
-    from jax.experimental.shard_map import shard_map
+    from ._compat import shard_map
 
     from ..ops import curve as C
     from ..ops import verify_kernels as V
@@ -205,7 +205,7 @@ def _msm_kernel_2axis(table, inf_mask, d1, d2, fold: int, mesh: Mesh):
     device, all_gather of the [3, l] partials over (chip, host) — ICI
     first, then DCN — and a small replicated tree reduction (point addition
     is associative, so the gather order does not change the sum)."""
-    from jax.experimental.shard_map import shard_map
+    from ._compat import shard_map
 
     from ..ops import curve as C
     from ..ops import msm as M

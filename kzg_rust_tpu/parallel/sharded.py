@@ -89,7 +89,7 @@ def _sharded_msm_kernel(table, inf_mask, d1, d2, fold: int, mesh: Mesh):
     """shard_map over the point axis: local gather + mixed-add fold per
     chip, all_gather of the [3, nlimbs] partials, small replicated
     reduction."""
-    from jax.experimental.shard_map import shard_map
+    from ._compat import shard_map
 
     def local(table_shard, inf_shard, d1_shard, d2_shard):
         partial_pt = M._msm_core_glv(table_shard, inf_shard, d1_shard, d2_shard, fold)
@@ -139,7 +139,7 @@ def sharded_commit_kernel(table, inf_mask, blob_bytes, fold: int, mesh: Mesh):
     may differ by a Z-scale from the reduction order; the decoded affine
     point is identical).
     """
-    from jax.experimental.shard_map import shard_map
+    from ._compat import shard_map
 
     from ..ops import limbs as L
     from ..ops.fields import FP, FR
@@ -193,7 +193,7 @@ def sharded_bary_kernel(roots_m, evals, xs, n: int, mesh: Mesh):
     ``(x^n - 1)/n`` scaling.  evals [B, n, l], xs [B, l] canonical; ys
     [B, l] canonical, bit-identical to the single-chip kernel.
     """
-    from jax.experimental.shard_map import shard_map
+    from ._compat import shard_map
 
     from ..ops import limbs as L
     from ..ops import protocol_kernels as PK
@@ -264,7 +264,7 @@ def sharded_batch_points_kernel(comp_bytes, mesh: Mesh):
     (bases, bases2, flags) with the bases left sharded over the point axis,
     exactly where stage 2 needs them.
     """
-    from jax.experimental.shard_map import shard_map
+    from ._compat import shard_map
 
     from ..ops import verify_kernels as V
 
@@ -294,7 +294,7 @@ def sharded_bary_blobs_kernel(n: int, roots_m, roots_m2, inv_n_m, blob_bytes, xs
     evaluates its own blob shard (no communication), the canonicality flags
     are AND-combined with one tiny all_gather.  Returns (ys [B, l] sharded
     over blobs, ok scalar)."""
-    from jax.experimental.shard_map import shard_map
+    from ._compat import shard_map
 
     from ..ops import verify_kernels as V
 
@@ -324,7 +324,7 @@ def sharded_batch_stage2_kernel(bases, bases2, digits, gen_table, sy_digits, mes
     all_gather over the mesh, and the replicated tail adds the single
     generator correction.  Point addition is associative, so the result is
     byte-identical to the single-chip kernel."""
-    from jax.experimental.shard_map import shard_map
+    from ._compat import shard_map
 
     from ..ops import verify_kernels as V
 

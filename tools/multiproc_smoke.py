@@ -64,7 +64,7 @@ def child(process_id: int, num: int, port: int) -> None:
     initialize_distributed(f"localhost:{port}", num_processes=num, process_id=process_id)
     import jax.numpy as jnp
     import numpy as np
-    from jax.experimental.shard_map import shard_map
+    from kzg_rust_tpu.parallel._compat import shard_map
     from jax.sharding import NamedSharding, PartitionSpec as P
 
     assert jax.process_count() == num, jax.process_count()
