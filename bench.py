@@ -18,8 +18,13 @@ criterion batch size (n=64) — TWICE (VERDICT round-2 item 1):
    ``KZG_TPU_PROVER=host`` — it is not under measurement), in a child
    process with a deadline so a degraded tunnel cannot hang the bench ->
    ``device_*`` fields for n=64 AND n=512 (the at-scale anchor for the
-   horizontal-scaling story, SCALING.md "crossover"), including
-   ``device*_compute_ms`` (end-to-end minus the measured link cost).
+   horizontal-scaling story, SCALING.md "crossover").
+   ``device*_compute_ms`` is end-to-end minus the MODELED link cost (RTT
+   crossings + upload at the small-probe bandwidth); on a degraded HTTP
+   tunnel the un-modeled transfer-stack overhead lands in this field, so
+   it is an UPPER bound on device compute — the slope-measured per-stage
+   kernel times (SCALING.md "round 4": 170 ms at n=512, 3,232 blobs/s/chip
+   at n=4096) are the true per-chip compute numbers.
 
 Statistics policy (frozen; VERDICT round-3 item 2, criterion-style
 distribution reporting per reference benches/kzg_benches.rs:25-130):
