@@ -121,6 +121,11 @@ AUTO_HOST_PROVE_S = 7e-3
 AUTO_RTT_CROSSINGS = 2.5
 AUTO_LINK_BUDGET_FRACTION = 0.5
 
+# Blob-chunked barycentric dispatch width for large single-device batches
+# (measured: 128-blob chunks run the n=4096 barycentric 22% faster than
+# one full-width dispatch — tools/probe_bary_chunks.py, SCALING.md r4).
+BARY_CHUNK_BLOBS = 128
+
 _HOST_PROFILE = None
 
 
@@ -446,6 +451,28 @@ class JaxBackend(GoldenBackend):
                 jnp.asarray(xs_arr),
                 mesh,
             )
+        elif npad >= 2 * BARY_CHUNK_BLOBS:
+            # Large batches dispatch the barycentric in fixed blob chunks:
+            # the [4096 x 4096] working set is deep in the memory-bound
+            # regime and chunked dispatches run ~22% faster (measured
+            # 807 -> 627 ms at n=4096, tools/probe_bary_chunks.py) while
+            # compiling ONE chunk shape instead of one per batch size.
+            # Dispatches are async (one stream, in-order); nothing is
+            # fetched until the flags below.
+            xs_dev = jnp.asarray(xs_arr)
+            parts = [
+                V.bary_batch_from_bytes_kernel(
+                    ctx.n,
+                    ctx.roots_m,
+                    ctx.roots_m2,
+                    ctx.inv_n_m,
+                    blob_dev[s : s + BARY_CHUNK_BLOBS],
+                    xs_dev[s : s + BARY_CHUNK_BLOBS],
+                )
+                for s in range(0, npad, BARY_CHUNK_BLOBS)
+            ]
+            ys_dev = jnp.concatenate([p[0] for p in parts])
+            blob_ok = jnp.all(jnp.stack([p[1] for p in parts]))
         else:
             ys_dev, blob_ok = V.bary_batch_from_bytes_kernel(
                 ctx.n, ctx.roots_m, ctx.roots_m2, ctx.inv_n_m, blob_dev, jnp.asarray(xs_arr)

@@ -117,3 +117,33 @@ def test_pipeline_batch_of_two(settings, golden, jaxbe, batch):
         Kzg.verify_blob_kzg_proof_batch(blobs[:2], cs[:2], ps[:2], settings, jaxbe)
         is True
     )
+
+
+def test_pipeline_chunked_barycentric(settings, golden, jaxbe, monkeypatch):
+    """Large single-device batches dispatch the barycentric in fixed blob
+    chunks (measured 22% faster at n=4096, tools/probe_bary_chunks.py);
+    the chunk boundary logic must be invisible: same accept/reject as the
+    golden path, including a tampered blob landing in a LATER chunk."""
+    import kzg_rust_tpu.backends.jax_backend as jb
+
+    monkeypatch.setattr(jb, "BARY_CHUNK_BLOBS", 4)
+    blobs = [make_blob(settings) for _ in range(9)]  # npad=16 -> 4 chunks
+    cs = [Kzg.blob_to_kzg_commitment(b, settings, golden) for b in blobs]
+    ps = [
+        Kzg.compute_blob_kzg_proof(b, c, settings, golden)
+        for b, c in zip(blobs, cs)
+    ]
+    assert Kzg.verify_blob_kzg_proof_batch(blobs, cs, ps, settings, jaxbe) is True
+    tampered = list(blobs)
+    tampered[7] = make_blob(settings)  # chunk 1 at width 4
+    want = Kzg.verify_blob_kzg_proof_batch(tampered, cs, ps, settings, golden)
+    got = Kzg.verify_blob_kzg_proof_batch(tampered, cs, ps, settings, jaxbe)
+    assert got is want is False
+    bad = Blob(
+        b"\xff" * 32 + bytes(blobs[8])[32:],
+        bytes_per_blob=settings.preset.bytes_per_blob,
+    )
+    noncanon = list(blobs)
+    noncanon[8] = bad  # non-canonical element in the third chunk
+    with pytest.raises(BadArgs):
+        Kzg.verify_blob_kzg_proof_batch(noncanon, cs, ps, settings, jaxbe)

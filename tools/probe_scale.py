@@ -137,7 +137,25 @@ def main():
             xs = [rng.randrange(FR.modulus) for _ in range(n)]
             xs_dev = jnp.asarray(L.ints_to_limbs(FR.nlimbs, xs))
 
+            from kzg_rust_tpu.backends.jax_backend import BARY_CHUNK_BLOBS
+
             def bary():
+                # Mirrors the production dispatch: chunked above the
+                # 2*BARY_CHUNK_BLOBS threshold (jax_backend), one full
+                # width dispatch below it.
+                if n >= 2 * BARY_CHUNK_BLOBS:
+                    parts = [
+                        V.bary_batch_from_bytes_kernel(
+                            ctx.n,
+                            ctx.roots_m,
+                            ctx.roots_m2,
+                            ctx.inv_n_m,
+                            blob_dev[s : s + BARY_CHUNK_BLOBS],
+                            xs_dev[s : s + BARY_CHUNK_BLOBS],
+                        )
+                        for s in range(0, n, BARY_CHUNK_BLOBS)
+                    ]
+                    return parts[-1]
                 return V.bary_batch_from_bytes_kernel(
                     ctx.n, ctx.roots_m, ctx.roots_m2, ctx.inv_n_m, blob_dev, xs_dev
                 )
