@@ -125,6 +125,11 @@ AUTO_LINK_BUDGET_FRACTION = 0.5
 # (measured: 128-blob chunks run the n=4096 barycentric 22% faster than
 # one full-width dispatch — tools/probe_bary_chunks.py, SCALING.md r4).
 BARY_CHUNK_BLOBS = 128
+# Stage-1 (decompress + window chain) chunk width: 1024 blobs measured 17%
+# faster than full width at n=4096, while 256 is step-overhead-bound again
+# (tools/probe_stage_chunks.py).  Stage 2 measured SLOWER chunked (its
+# per-dispatch ladder/tree fixed costs dominate) and stays full-width.
+STAGE1_CHUNK_BLOBS = 1024
 
 _HOST_PROFILE = None
 
@@ -417,6 +422,21 @@ class JaxBackend(GoldenBackend):
             bases, bases2, pflags = S.sharded_batch_points_kernel(
                 jnp.asarray(comp), mesh
             )
+        elif npad >= 2 * STAGE1_CHUNK_BLOBS:
+            # Chunked stage-1 dispatch (constant documented above): the
+            # bases tensors stream better at 1024-blob width; parts concat
+            # device-side (one pass over the bases, ~2 ms) and the flags
+            # AND-combine (min).  All dispatches stay async.
+            comp_dev = jnp.asarray(comp)
+            parts = [
+                V.batch_points_kernel(
+                    comp_dev[2 * s : 2 * (s + STAGE1_CHUNK_BLOBS)]
+                )
+                for s in range(0, npad, STAGE1_CHUNK_BLOBS)
+            ]
+            bases = jnp.concatenate([p[0] for p in parts], axis=1)
+            bases2 = jnp.concatenate([p[1] for p in parts], axis=1)
+            pflags = jnp.min(jnp.stack([p[2] for p in parts]), axis=0)
         else:
             bases, bases2, pflags = V.batch_points_kernel(jnp.asarray(comp))
 

@@ -121,12 +121,14 @@ def test_pipeline_batch_of_two(settings, golden, jaxbe, batch):
 
 def test_pipeline_chunked_barycentric(settings, golden, jaxbe, monkeypatch):
     """Large single-device batches dispatch the barycentric in fixed blob
-    chunks (measured 22% faster at n=4096, tools/probe_bary_chunks.py);
+    chunks and stage 1 in larger ones (measured 22% / 17% faster at
+    n=4096, tools/probe_bary_chunks.py / probe_stage_chunks.py);
     the chunk boundary logic must be invisible: same accept/reject as the
     golden path, including a tampered blob landing in a LATER chunk."""
     import kzg_rust_tpu.backends.jax_backend as jb
 
     monkeypatch.setattr(jb, "BARY_CHUNK_BLOBS", 4)
+    monkeypatch.setattr(jb, "STAGE1_CHUNK_BLOBS", 4)
     blobs = [make_blob(settings) for _ in range(9)]  # npad=16 -> 4 chunks
     cs = [Kzg.blob_to_kzg_commitment(b, settings, golden) for b in blobs]
     ps = [
