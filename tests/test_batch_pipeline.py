@@ -25,6 +25,16 @@ from kzg_rust_tpu.utils.testing import make_insecure_setup
 rng = random.Random(0xBA7C4)
 
 
+@pytest.fixture(autouse=True)
+def force_device_branch(monkeypatch):
+    """These tests exist to exercise the DEVICE pipeline; without this the
+    ``auto`` placement silently routes to the native host engine wherever
+    it is built (caught in round 4 by the dispatch-count assertion in
+    test_pipeline_chunked_barycentric — the outcome-only assertions passed
+    on either path)."""
+    monkeypatch.setenv("KZG_TPU_EVAL", "device")
+
+
 @pytest.fixture(scope="module")
 def settings():
     return make_insecure_setup(MINIMAL)
@@ -127,8 +137,24 @@ def test_pipeline_chunked_barycentric(settings, golden, jaxbe, monkeypatch):
     golden path, including a tampered blob landing in a LATER chunk."""
     import kzg_rust_tpu.backends.jax_backend as jb
 
+    from kzg_rust_tpu.ops import verify_kernels as V
+
     monkeypatch.setattr(jb, "BARY_CHUNK_BLOBS", 4)
     monkeypatch.setattr(jb, "STAGE1_CHUNK_BLOBS", 4)
+    calls = {"bary": 0, "stage1": 0}
+    real_bary = V.bary_batch_from_bytes_kernel
+    real_s1 = V.batch_points_kernel
+
+    def count_bary(*a, **k):
+        calls["bary"] += 1
+        return real_bary(*a, **k)
+
+    def count_s1(*a, **k):
+        calls["stage1"] += 1
+        return real_s1(*a, **k)
+
+    monkeypatch.setattr(V, "bary_batch_from_bytes_kernel", count_bary)
+    monkeypatch.setattr(V, "batch_points_kernel", count_s1)
     blobs = [make_blob(settings) for _ in range(9)]  # npad=16 -> 4 chunks
     cs = [Kzg.blob_to_kzg_commitment(b, settings, golden) for b in blobs]
     ps = [
@@ -136,6 +162,8 @@ def test_pipeline_chunked_barycentric(settings, golden, jaxbe, monkeypatch):
         for b, c in zip(blobs, cs)
     ]
     assert Kzg.verify_blob_kzg_proof_batch(blobs, cs, ps, settings, jaxbe) is True
+    # The chunked branches actually dispatched: 16/4 calls per stage.
+    assert calls == {"bary": 4, "stage1": 4}
     tampered = list(blobs)
     tampered[7] = make_blob(settings)  # chunk 1 at width 4
     want = Kzg.verify_blob_kzg_proof_batch(tampered, cs, ps, settings, golden)
