@@ -177,3 +177,37 @@ def test_pipeline_chunked_barycentric(settings, golden, jaxbe, monkeypatch):
     noncanon[8] = bad  # non-canonical element in the third chunk
     with pytest.raises(BadArgs):
         Kzg.verify_blob_kzg_proof_batch(noncanon, cs, ps, settings, jaxbe)
+
+
+def test_pipeline_host_piecewise_mode(monkeypatch):
+    """KZG_TPU_EVAL=host-piecewise (native barycentric + host RLC, no
+    device) is a user-reachable placement mode; pin its accept/reject
+    semantics on the mainnet setup.  Skipped where native is absent."""
+    from kzg_rust_tpu import hostcrypto
+
+    if hostcrypto._nat() is None:
+        pytest.skip("native runtime not built")
+    import pathlib
+
+    from kzg_rust_tpu.backends.jax_backend import JaxBackend
+
+    monkeypatch.setenv("KZG_TPU_EVAL", "host-piecewise")
+    root = pathlib.Path(__file__).resolve().parent.parent
+    mainnet = Kzg.load_trusted_setup_file(root / "data" / "trusted_setup.txt")
+    be = JaxBackend()
+    rng2 = random.Random(0x9EC3)
+    blobs, cs, ps = [], [], []
+    for _ in range(2):
+        data = b"".join(b"\x00" + rng2.randbytes(31) for _ in range(4096))
+        b = Blob(data)
+        c = Kzg.blob_to_kzg_commitment(b, mainnet, be)
+        p = Kzg.compute_blob_kzg_proof(b, c, mainnet, be)
+        blobs.append(b)
+        cs.append(c)
+        ps.append(p)
+    assert Kzg.verify_blob_kzg_proof_batch(blobs, cs, ps, mainnet, be) is True
+    assert (
+        Kzg.verify_blob_kzg_proof_batch(blobs, cs, ps[::-1], mainnet, be) is False
+    )
+    with pytest.raises(BadArgs):
+        Kzg.verify_blob_kzg_proof_batch(blobs, cs[:1], ps, mainnet, be)

@@ -28,7 +28,11 @@ ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 def main() -> None:
     rnd = int(sys.argv[1]) if len(sys.argv) > 1 else 0
-    target = sys.argv[2] if len(sys.argv) > 2 else "tests/test_conformance.py"
+    target = (
+        sys.argv[2]
+        if len(sys.argv) > 2
+        else "tests/test_conformance.py tests/test_conformance_minimal.py"
+    )  # space-separated pytest targets: mainnet 208 + generated minimal 28
 
     env = dict(os.environ)
     env["KZG_TPU_TEST_REAL_DEVICE"] = "1"
@@ -55,7 +59,7 @@ def main() -> None:
 
     t0 = time.time()
     proc = subprocess.run(
-        [sys.executable, "-m", "pytest", target, "-q", "--no-header"],
+        [sys.executable, "-m", "pytest", *target.split(), "-q", "--no-header"],
         capture_output=True,
         cwd=ROOT,
         env=env,
