@@ -14,8 +14,9 @@ criterion batch size (n=64) — TWICE (VERDICT round-2 item 1):
    engine: one n=64 batch cannot cross this link faster than the host
    verifies it outright.
 2. with the measured VERIFY path FORCED to the TPU (``KZG_TPU_EVAL=device``;
-   the prover that merely *generates* the batch is pinned to the host with
-   ``KZG_TPU_PROVER=host`` — it is not under measurement), in a child
+   the prover that merely *generates* the batch is pinned to the host
+   engine where it exists, ``auto`` otherwise — it is not under
+   measurement), in a child
    process with a deadline so a degraded tunnel cannot hang the bench ->
    ``device_*`` fields for n=64 AND n=512 (the at-scale anchor for the
    horizontal-scaling story, SCALING.md "crossover").
@@ -23,7 +24,7 @@ criterion batch size (n=64) — TWICE (VERDICT round-2 item 1):
    crossings + upload at the small-probe bandwidth); on a degraded HTTP
    tunnel the un-modeled transfer-stack overhead lands in this field, so
    it is an UPPER bound on device compute — the slope-measured per-stage
-   kernel times (SCALING.md "round 4": 170 ms at n=512, 3,232 blobs/s/chip
+   kernel times (SCALING.md "round 4": 149 ms at n=512, 3,883 blobs/s/chip
    at n=4096) are the true per-chip compute numbers.
 
 Statistics policy (frozen; VERDICT round-3 item 2, criterion-style
@@ -128,10 +129,17 @@ def device_probe() -> None:
     """Child mode: forced-device measurement, one JSON line on stdout."""
     os.environ["KZG_TPU_BACKEND"] = "jax"
     os.environ["KZG_TPU_EVAL"] = "device"
-    # Proof/commitment GENERATION stays on the host engine (not under
-    # measurement); only the measured verify path is forced to the device.
-    os.environ["KZG_TPU_PROVER"] = "host"
     _enable_compile_cache()
+    # Proof/commitment GENERATION stays on the host engine when it exists
+    # (not under measurement); KZG_TPU_PROVER=host HARD-FAILS without the
+    # native runtime, so fall back to 'auto' there (auto never raises —
+    # it uses whatever prover is available) rather than erase the round's
+    # device evidence on a host whose best-effort C++ build failed.
+    from kzg_rust_tpu import hostcrypto
+
+    os.environ["KZG_TPU_PROVER"] = (
+        "host" if hostcrypto._nat() is not None else "auto"
+    )
     import jax
 
     from kzg_rust_tpu import Kzg

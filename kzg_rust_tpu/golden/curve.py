@@ -17,7 +17,14 @@ from __future__ import annotations
 from ..errors import BadArgs
 from . import field as f
 from .field import P, R
-from ..messages import MSG_EXPECT_48
+from ..messages import (
+    MSG_EXPECT_48,
+    MSG_G2_BAD_INFINITY,
+    MSG_G2_EXPECT_96,
+    MSG_G2_NOT_ON_CURVE,
+    MSG_G2_UNCOMPRESSED_BIT,
+    MSG_G2_X_RANGE,
+)
 
 # Generators (standard BLS12-381 values; reference stores the same points as
 # Montgomery-form Jacobian limbs in src/consts.rs:47-154).
@@ -389,23 +396,23 @@ def g2_compress(p) -> bytes:
 def g2_uncompress(data: bytes):
     """Decode 96 bytes (reference: blst_p2_uncompress at kzg.rs:876)."""
     if len(data) != 96:
-        raise BadArgs("g2_uncompress: expected 96 bytes")
+        raise BadArgs(MSG_G2_EXPECT_96)
     flags = data[0]
     if not flags & _FLAG_COMPRESSED:
-        raise BadArgs("g2_uncompress: uncompressed bit not set")
+        raise BadArgs(MSG_G2_UNCOMPRESSED_BIT)
     if flags & _FLAG_INFINITY:
         if flags != (_FLAG_COMPRESSED | _FLAG_INFINITY) or any(data[1:]):
-            raise BadArgs("g2_uncompress: bad infinity encoding")
+            raise BadArgs(MSG_G2_BAD_INFINITY)
         return None
     x1 = int.from_bytes(bytes([flags & 0x1F]) + data[1:48], "big")
     x0 = int.from_bytes(data[48:96], "big")
     if x0 >= P or x1 >= P:
-        raise BadArgs("g2_uncompress: x out of range")
+        raise BadArgs(MSG_G2_X_RANGE)
     x = (x0, x1)
     y2 = f.fp2_add(f.fp2_mul(f.fp2_sqr(x), x), _B_G2)
     y = f.fp2_sqrt(y2)
     if y is None:
-        raise BadArgs("g2_uncompress: point not on curve")
+        raise BadArgs(MSG_G2_NOT_ON_CURVE)
     sign = bool(flags & _FLAG_SIGN)
     y0, y1 = y
     neg = ((-y0) % P, (-y1) % P)

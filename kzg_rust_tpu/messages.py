@@ -35,6 +35,12 @@ MSG_MALFORMED_PROOF = "validate_kzg_g1: malformed proof encoding"
 MSG_INVALID_COMPRESSED_G1 = "validate_kzg_g1: invalid compressed G1"
 MSG_BATCH_INV_ZERO = "fr_batch_inv: zero input"
 
+MSG_G2_EXPECT_96 = "g2_uncompress: expected 96 bytes"
+MSG_G2_UNCOMPRESSED_BIT = "g2_uncompress: uncompressed bit not set"
+MSG_G2_BAD_INFINITY = "g2_uncompress: bad infinity encoding"
+MSG_G2_X_RANGE = "g2_uncompress: x out of range"
+MSG_G2_NOT_ON_CURVE = "g2_uncompress: point not on curve"
+
 # -- native engine rc-code -> message contract ------------------------------
 #
 # The C++ engine (native/kzg_native.cpp) reports failures as small positive
@@ -53,6 +59,14 @@ VERIFY_RC_ERRORS = {
     4: MSG_BATCH_INV_ZERO,
     5: MSG_MALFORMED_PROOF,
     6: MSG_NOT_IN_SUBGROUP,
+}
+
+# Native kzg_g2_uncompress rc codes (setup-time G2 decode).
+G2_UNCOMPRESS_RC_ERRORS = {
+    2: MSG_G2_UNCOMPRESSED_BIT,
+    3: MSG_G2_BAD_INFINITY,
+    4: MSG_G2_X_RANGE,
+    5: MSG_G2_NOT_ON_CURVE,
 }
 
 PROVER_RC_ERRORS = {

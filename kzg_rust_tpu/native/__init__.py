@@ -23,7 +23,9 @@ import subprocess
 import threading
 
 from ..messages import (
+    G2_UNCOMPRESS_RC_ERRORS,
     MSG_EXPECT_48,
+    MSG_G2_EXPECT_96,
     MSG_INVALID_BYTES32,
     PROVER_RC_ERRORS,
     VERIFY_RC_ERRORS,
@@ -190,14 +192,6 @@ def g1_uncompress_batch(datas):
     return res
 
 
-_G2_UNCOMPRESS_ERRORS = {
-    2: "g2_uncompress: uncompressed bit not set",
-    3: "g2_uncompress: bad infinity encoding",
-    4: "g2_uncompress: x out of range",
-    5: "g2_uncompress: point not on curve",
-}
-
-
 def g2_uncompress(data: bytes):
     """96-byte ZCash-format G2 decode (reference: blst_p2_uncompress at
     kzg.rs:876): native Fp2 sqrt (eprint 2012/685 alg 9) instead of the
@@ -207,12 +201,12 @@ def g2_uncompress(data: bytes):
 
     lib = _load()
     if len(data) != 96:
-        raise BadArgs("g2_uncompress: expected 96 bytes")
+        raise BadArgs(MSG_G2_EXPECT_96)
     out = (ctypes.c_uint8 * 192)()
     inf = ctypes.c_int()
     rc = lib.kzg_g2_uncompress(bytes(data), out, ctypes.byref(inf))
     if rc:
-        raise BadArgs(_G2_UNCOMPRESS_ERRORS.get(rc, f"g2_uncompress failed ({rc})"))
+        raise BadArgs(G2_UNCOMPRESS_RC_ERRORS.get(rc, f"g2_uncompress failed ({rc})"))
     return _g2_from_bytes(out, inf.value)
 
 

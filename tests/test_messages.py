@@ -25,6 +25,28 @@ def test_rc_tables_agree_on_shared_codes():
         assert M.VERIFY_RC_ERRORS[code] == msg
 
 
+def test_g2_uncompress_strings_single_sourced():
+    """golden and native both raise the messages.py G2 strings (round-4
+    review: these were hand-duplicated when native G2 landed)."""
+    import inspect
+
+    from kzg_rust_tpu import native
+    from kzg_rust_tpu.golden import curve as gcurve
+
+    src_native = inspect.getsource(native.g2_uncompress)
+    assert "G2_UNCOMPRESS_RC_ERRORS" in src_native
+    assert "MSG_G2_EXPECT_96" in src_native
+    src_golden = inspect.getsource(gcurve.g2_uncompress)
+    for name in (
+        "MSG_G2_EXPECT_96",
+        "MSG_G2_UNCOMPRESSED_BIT",
+        "MSG_G2_BAD_INFINITY",
+        "MSG_G2_X_RANGE",
+        "MSG_G2_NOT_ON_CURVE",
+    ):
+        assert name in src_golden, name
+
+
 def test_python_paths_raise_the_shared_strings(settings):
     from kzg_rust_tpu import protocol
     from kzg_rust_tpu.utils import bls_serde

@@ -349,7 +349,8 @@ def test_g2_uncompress_setup_points():
     """All 65 mainnet setup G2 points decode identically native vs golden."""
     import pathlib
 
-    lines = pathlib.Path("data/trusted_setup.txt").read_text().splitlines()
+    root = pathlib.Path(__file__).resolve().parent.parent
+    lines = (root / "data" / "trusted_setup.txt").read_text().splitlines()
     n_g1 = int(lines[0])
     n_g2 = int(lines[1])
     g2_hex = lines[2 + n_g1 : 2 + n_g1 + n_g2]

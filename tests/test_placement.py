@@ -1,10 +1,11 @@
-"""Auto-placement host-cost calibration (VERDICT round-3 item 4).
+"""Auto-placement host-cost calibration (VERDICT round-3 item 4 +
+round-4 review hardening).
 
-The ``auto`` placement compares a measured link cost against a host runtime
-budget; round 3 hard-coded this host's figures, which under-picks the device
-on a slower host.  These tests pin the round-4 behavior: the host side is
-MEASURED once per process from the native engine (one prove + a batch-verify
-slope), with the frozen constants used only as the no-native fallback.
+The ``auto`` placement compares a measured link cost against a host
+runtime budget.  Round 3 hard-coded this host's figures; round 4 measures
+them at runtime — lazily, per (component, preset): the verify slope needs
+no prover context, and a process mixing presets must not let the first
+preset consulted poison placement for the others.
 """
 
 from __future__ import annotations
@@ -16,10 +17,9 @@ from kzg_rust_tpu.backends import jax_backend as jb
 
 @pytest.fixture()
 def fresh_profile(monkeypatch):
-    """Reset the process-wide host profile around each test."""
-    monkeypatch.setattr(jb, "_HOST_PROFILE", None)
+    """Reset the process-wide host profile cache around each test."""
+    monkeypatch.setattr(jb, "_HOST_PROFILE", {})
     yield
-    # monkeypatch restores the original value on teardown
 
 
 def _native_available() -> bool:
@@ -29,26 +29,51 @@ def _native_available() -> bool:
 
 
 def test_host_profile_fallback_without_native(fresh_profile):
-    per_blob, prove = jb.host_profile(None, None, 131072)
-    assert per_blob == jb.AUTO_HOST_PER_BLOB_S
-    assert prove == jb.AUTO_HOST_PROVE_S
+    assert jb.host_verify_profile(None, 131072) == jb.AUTO_HOST_PER_BLOB_S
+    assert jb.host_prove_profile(None, 131072) == jb.AUTO_HOST_PROVE_S
 
 
 @pytest.mark.skipif(not _native_available(), reason="native runtime not built")
-def test_host_profile_measured_with_native(fresh_profile, settings):
+def test_host_profiles_measured_with_native(fresh_profile, settings):
     backend = jb.JaxBackend()
-    per_blob, prove = backend._host_costs(settings)
-    # Measured values: positive, sane magnitudes (per-blob far under a
-    # second; a single prove under ten seconds even on a loaded host).
+    bpb = settings.preset.bytes_per_blob
+    per_blob = jb.host_verify_profile(backend._verify_native_ctx(settings), bpb)
+    prove = jb.host_prove_profile(backend._prover_native_ctx(settings), bpb)
     assert 0 < per_blob < 1.0
     assert 0 < prove < 10.0
-    # Measured, not the frozen fallback pair.
-    assert (per_blob, prove) != (jb.AUTO_HOST_PER_BLOB_S, jb.AUTO_HOST_PROVE_S)
-    # Cached once per process: the second call is the same measurement.
-    assert backend._host_costs(settings) == (per_blob, prove)
+    assert per_blob != jb.AUTO_HOST_PER_BLOB_S
+    assert prove != jb.AUTO_HOST_PROVE_S
+    # Cached once per (component, preset).
+    assert jb.host_verify_profile(backend._verify_native_ctx(settings), bpb) == per_blob
+    assert ("verify", bpb) in jb._HOST_PROFILE
+    assert ("prove", bpb) in jb._HOST_PROFILE
 
 
 @pytest.mark.skipif(not _native_available(), reason="native runtime not built")
+def test_host_profile_keys_by_preset(fresh_profile):
+    """Round-4 review finding: a single process-wide profile let the first
+    preset consulted (e.g. MINIMAL's microsecond blobs) poison the budget
+    for every other preset.  The cache keys by bytes_per_blob."""
+    jb._HOST_PROFILE[("verify", 128)] = 1e-9  # pretend minimal was measured
+    assert jb.host_verify_profile(None, 131072) == jb.AUTO_HOST_PER_BLOB_S
+    assert jb._HOST_PROFILE[("verify", 128)] == 1e-9  # untouched
+
+
+def test_verify_profile_needs_no_prover_ctx(fresh_profile, settings):
+    """Verify-only processes must not build the fixed-base prover table
+    just to calibrate: the verify component is measured from the verify
+    ctx alone (on a well-formed but failing batch)."""
+    if not _native_available():
+        pytest.skip("native runtime not built")
+    backend = jb.JaxBackend()
+    per_blob = jb.host_verify_profile(
+        backend._verify_native_ctx(settings), settings.preset.bytes_per_blob
+    )
+    assert per_blob > 0
+    # The prove component stays unmeasured until a prover op consults it.
+    assert ("prove", settings.preset.bytes_per_blob) not in jb._HOST_PROFILE
+
+
 def test_auto_budget_uses_measured_host_costs(fresh_profile, settings, monkeypatch):
     """The decision inequality sees the measured budget: with the host
     measured as instant, the device can never win; with the host measured
@@ -63,13 +88,14 @@ def test_auto_budget_uses_measured_host_costs(fresh_profile, settings, monkeypat
     monkeypatch.setattr(jb, "_LINK_PROFILE", (10e-6, 10e9))  # 10us RTT, 10GB/s
     import sys
 
-    # _auto_prefers_device imports jax inside the function; patch the module
-    # object it resolves so default_backend() reports an accelerator.
     monkeypatch.setitem(sys.modules, "jax", FakeJax)
+    bpb = settings.preset.bytes_per_blob
 
-    monkeypatch.setattr(jb, "_HOST_PROFILE", (1e-9, 1e-9))  # host ~free
+    monkeypatch.setitem(jb._HOST_PROFILE, ("verify", bpb), 1e-9)
+    monkeypatch.setitem(jb._HOST_PROFILE, ("prove", bpb), 1e-9)
     assert not backend._auto_prefers_device(settings, 64, 64 * 131168, "verify_batch")
 
-    monkeypatch.setattr(jb, "_HOST_PROFILE", (10.0, 10.0))  # host ~10s/blob
+    monkeypatch.setitem(jb._HOST_PROFILE, ("verify", bpb), 10.0)
+    monkeypatch.setitem(jb._HOST_PROFILE, ("prove", bpb), 10.0)
     assert backend._auto_prefers_device(settings, 64, 64 * 131168, "verify_batch")
     assert backend._auto_prefers_device(settings, 1, 131072, "prover")
