@@ -18,8 +18,8 @@ criterion batch size (n=64) — TWICE (VERDICT round-2 item 1):
    engine where it exists, ``auto`` otherwise — it is not under
    measurement), in a child
    process with a deadline so a degraded tunnel cannot hang the bench ->
-   ``device_*`` fields for n=64 AND n=512 (the at-scale anchor for the
-   horizontal-scaling story, SCALING.md "crossover").
+   ``device_*`` fields for n=64, n=512 and n=4096 (the at-scale anchors
+   for the horizontal-scaling story, SCALING.md "crossover").
    ``device*_compute_ms`` is end-to-end minus the MODELED link cost (RTT
    crossings + upload at the small-probe bandwidth); on a degraded HTTP
    tunnel the un-modeled transfer-stack overhead lands in this field, so
@@ -67,7 +67,13 @@ BATCH_N = 64  # reference's largest criterion batch size
 REPEATS = 40
 SPACING_S = 0.35
 DEVICE_REPEATS = 5
-DEVICE_BATCH_NS = (64, 512)  # n=64 (reference max) + n=512 (at-scale anchor)
+DEVICE_REPEATS_4096 = 3  # the 537 MB uploads make tail reps expensive
+# n=64 (reference's largest criterion size), n=512 (mid-scale), n=4096 (the
+# BASELINE config-5 batch — the saturated per-chip anchor of the crossover
+# table, SCALING.md "round 4").  Generation of the 4096-blob batch costs
+# ~3 min of host prover time inside the child's deadline; the warm budget
+# holds with >10 min of margin (measured round 4).
+DEVICE_BATCH_NS = (64, 512, 4096)
 # The tunnel's first dispatch has been observed to take ~9 minutes (device
 # discovery + warm-up); give the forced-device child a generous deadline but
 # never let it hang the bench channel.  A COLD compile cache adds full XLA
@@ -162,7 +168,8 @@ def device_probe() -> None:
         # Warm-up: compile + upload paths for this batch shape.
         assert Kzg.verify_blob_kzg_proof_batch(b, c, p, settings) is True
         samples = []
-        for _ in range(DEVICE_REPEATS):
+        reps = DEVICE_REPEATS_4096 if bn >= 4096 else DEVICE_REPEATS
+        for _ in range(reps):
             t0 = time.perf_counter()
             ok = Kzg.verify_blob_kzg_proof_batch(b, c, p, settings)
             samples.append(time.perf_counter() - t0)
@@ -176,7 +183,11 @@ def device_probe() -> None:
         out[f"{pre}_median_ms"] = round(med * 1e3, 2)
         out[f"{pre}_p90_ms"] = round(p90 * 1e3, 2)
         out[f"{pre}_compute_ms"] = round(max(best - link_cost, 0.0) * 1e3, 2)
-    print(json.dumps(out))
+        # Emit the accumulated fields after EVERY size: if a later (larger)
+        # size stalls past the parent deadline on a degraded tunnel, the
+        # parent still parses the last complete line instead of losing the
+        # whole round's device evidence.
+        print(json.dumps(out), flush=True)
 
 
 def main() -> None:
@@ -240,8 +251,21 @@ def main() -> None:
         if parsed is None:
             tail = proc.stderr.decode(errors="replace")[-300:]
             parsed = {"device_error": f"probe rc={proc.returncode}: {tail}"}
-    except subprocess.TimeoutExpired:
-        parsed = {"device_error": f"probe exceeded {deadline:.0f}s deadline"}
+    except subprocess.TimeoutExpired as te:
+        # The child prints cumulative fields after every batch size;
+        # salvage the last complete line from the partial output.
+        parsed = None
+        partial = (te.stdout or b"").decode(errors="replace") if te.stdout else ""
+        for ln in reversed(partial.strip().splitlines()):
+            try:
+                parsed = json.loads(ln)
+                break
+            except json.JSONDecodeError:
+                continue
+        if parsed is None:
+            parsed = {"device_error": f"probe exceeded {deadline:.0f}s deadline"}
+        else:
+            parsed["device_probe_truncated"] = f"deadline {deadline:.0f}s"
     if device_cold:
         parsed["device_cache_cold"] = True
     out.update(parsed)
