@@ -358,3 +358,26 @@ def test_g2_uncompress_setup_points():
     for h in g2_hex:
         data = bytes.fromhex(h)
         assert nat.g2_uncompress(data) == gc.g2_uncompress(data)
+
+
+def test_g2_uncompress_conjugate_sqrt_branch():
+    """The Fp2-sqrt 'alpha == -1' branch (sqrt = u * x0) fires only when
+    the root is purely imaginary (y = c*u, probability ~2^-381 for random
+    points — dead code in every other test).  This compressed twist point
+    was CONSTRUCTED to hit it (x chosen so x^3 + 4 + 4u lands in Fp as a
+    negated square; uncompression does no subgroup check, so any curve
+    point decodes): both decoders must agree and return the purely
+    imaginary root."""
+    comp = bytes.fromhex(
+        "8613ad6f965eda32dae445508201e2bd73ab48767734d7c1c7fde805ec9910"
+        "8ddb5b5fab8f4d3e27dda1494c73cf256e18a3c7ab7580348e0cdc23cf40d2"
+        "48de77003875c45fa548898445688c2037fc0d1c10daa0887707be20d45f7a"
+        "22b382"
+    )
+    g = gc.g2_uncompress(comp)
+    n = nat.g2_uncompress(comp)
+    assert g == n
+    assert g is not None and g[1][0] == 0  # y = c*u: Fp-component zero
+    # on the twist: y^2 == x^3 + 4(1+u)
+    x, y = g
+    assert gf.fp2_sqr(y) == gf.fp2_add(gf.fp2_mul(gf.fp2_sqr(x), x), (4, 4))
