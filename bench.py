@@ -125,6 +125,19 @@ def _build_batch(batch_n: int = BATCH_N):
     return settings, blobs, commitments, proofs
 
 
+def _last_json_line(text: str):
+    """The last parseable JSON object among ``text``'s lines, or None —
+    used for both the child's normal output and the partial output
+    salvaged from a deadline kill (the child emits cumulative fields
+    after every probed batch size)."""
+    for ln in reversed(text.strip().splitlines()):
+        try:
+            return json.loads(ln)
+        except json.JSONDecodeError:
+            continue
+    return None
+
+
 def _stats(samples):
     """Per-sample wall times -> (best, median, p90) seconds."""
     s = sorted(samples)
@@ -240,28 +253,15 @@ def main() -> None:
             timeout=deadline,
             cwd=ROOT,
         )
-        line = proc.stdout.decode(errors="replace").strip().splitlines()
-        parsed = None
-        for ln in reversed(line):
-            try:
-                parsed = json.loads(ln)
-                break
-            except json.JSONDecodeError:
-                continue
+        parsed = _last_json_line(proc.stdout.decode(errors="replace"))
         if parsed is None:
             tail = proc.stderr.decode(errors="replace")[-300:]
             parsed = {"device_error": f"probe rc={proc.returncode}: {tail}"}
     except subprocess.TimeoutExpired as te:
         # The child prints cumulative fields after every batch size;
         # salvage the last complete line from the partial output.
-        parsed = None
-        partial = (te.stdout or b"").decode(errors="replace") if te.stdout else ""
-        for ln in reversed(partial.strip().splitlines()):
-            try:
-                parsed = json.loads(ln)
-                break
-            except json.JSONDecodeError:
-                continue
+        partial = te.stdout.decode(errors="replace") if te.stdout else ""
+        parsed = _last_json_line(partial)
         if parsed is None:
             parsed = {"device_error": f"probe exceeded {deadline:.0f}s deadline"}
         else:

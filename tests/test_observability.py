@@ -37,3 +37,27 @@ def test_device_trace_writes_profile(tmp_path, monkeypatch):
         jnp.zeros(4).sum().block_until_ready()
     files = [f for _, _, fs in os.walk(tmp_path) for f in fs]
     assert files, "profiler trace produced no files"
+
+
+def test_bench_salvages_last_json_line():
+    """bench.py's deadline-salvage: the device probe emits cumulative JSON
+    per batch size, and the parent recovers the last complete line from
+    partial (killed-child) output instead of dropping the round's device
+    evidence."""
+    import importlib.util
+    import pathlib
+
+    root = pathlib.Path(__file__).resolve().parent.parent
+    spec = importlib.util.spec_from_file_location("bench_mod", root / "bench.py")
+    bench = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(bench)
+
+    text = (
+        'WARNING: noise\n'
+        '{"device": "TPU", "device_e2e_ms": 330.0}\n'
+        '{"device": "TPU", "device_e2e_ms": 330.0, "device_n512_e2e_ms": 2100.0}\n'
+        '{"device": "TPU", "device_e2e_ms": 330.0, "device_n512_e2e_ms": 2100'
+    )  # last line truncated by the kill
+    got = bench._last_json_line(text)
+    assert got == {"device": "TPU", "device_e2e_ms": 330.0, "device_n512_e2e_ms": 2100.0}
+    assert bench._last_json_line("no json here\n") is None
