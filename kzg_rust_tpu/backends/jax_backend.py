@@ -533,14 +533,26 @@ class JaxBackend(GoldenBackend):
                 ctx.n, ctx.roots_m, ctx.roots_m2, ctx.inv_n_m, blob_dev, jnp.asarray(xs_arr)
             )
 
-        flags = np.asarray(pflags)
-        if not bool(flags[0]):
+        # ONE packed fetch for flags + blob_ok + ys: three separate
+        # np.asarray round trips cost ~2 extra link RTTs per batch (50 ms
+        # on a 25 ms-RTT tunnel); the concat is one tiny device op and the
+        # host-side validation ORDER below is unchanged (point decode ->
+        # subgroup -> blob canonicality, reference kzg.rs:671-683).
+        packed = jnp.concatenate(
+            [
+                jnp.asarray(pflags, jnp.uint32).reshape(-1),
+                jnp.asarray(blob_ok, jnp.uint32).reshape(-1),
+                ys_dev.reshape(-1),
+            ]
+        )
+        arr = np.asarray(packed)
+        if not bool(arr[0]):
             raise BadArgs(MSG_INVALID_COMPRESSED_G1)
-        if not bool(flags[1]):
+        if not bool(arr[1]):
             raise BadArgs(MSG_NOT_IN_SUBGROUP)
-        if not bool(np.asarray(blob_ok)):
+        if not bool(arr[2]):
             raise BadArgs(MSG_INVALID_BYTES32)
-        ys = L.limbs_to_ints(np.asarray(ys_dev)[:n])
+        ys = L.limbs_to_ints(arr[3:].reshape(ys_dev.shape)[:n])
         for i, y in overrides.items():
             ys[i] = y
 
