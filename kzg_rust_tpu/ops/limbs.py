@@ -346,8 +346,6 @@ def _mul_cols_shear(a, b, nout: int):
 
 
 def _mul_cols(a, b, nout: int):
-    import jax
-
     if jax.default_backend() == "cpu":
         return _mul_cols_shear(a, b, nout)
     return _mul_cols_pad(a, b, nout)
@@ -493,7 +491,8 @@ def sum_mont_redc(spec: FieldSpec, x, axis: int):
     the form change into an adjacent constant or multiply.
     """
     k = x.shape[axis]
-    assert k * (BASE - 1) < (1 << 31), "too many terms for raw accumulation"
+    if k * (BASE - 1) >= (1 << 31):  # explicit: must survive python -O
+        raise ValueError("sum_mont_redc: too many terms for raw accumulation")
     cols = jnp.sum(x, axis=axis, dtype=jnp.uint32)  # [..., n] digits < 2^31
     pad = jnp.zeros(cols.shape[:-1] + (spec.nlimbs,), jnp.uint32)
     return redc_cols(spec, jnp.concatenate([cols, pad], axis=-1))

@@ -24,6 +24,7 @@ from . import limbs as L
 from . import msm as M
 from . import protocol_kernels as PK
 from .fields import FP, FR
+from .verify_kernels import blob_bytes_to_limbs
 
 
 def _from_mont_point(pt):
@@ -39,8 +40,6 @@ def commit_kernel(table, inf_mask, blob_bytes, fold: int):
     utils.rs:367-410).
     ``ok`` is False iff any field element is non-canonical (result garbage).
     """
-    from .verify_kernels import blob_bytes_to_limbs
-
     evals_limbs = blob_bytes_to_limbs(blob_bytes)
     ok = ~jnp.any(L.geq_mod(FR, evals_limbs))
     d1, d2 = M.glv_digits_from_limbs(evals_limbs)
@@ -58,8 +57,6 @@ def proof_kernel(n: int, roots_m, inv_n_m, table, inf_mask, blob_bytes, z, fold:
     (proof [3, l], y [l], ok) - proof/y canonical (non-Montgomery), garbage
     when ``ok`` is False (non-canonical blob element).
     """
-    from .verify_kernels import blob_bytes_to_limbs
-
     evals = blob_bytes_to_limbs(blob_bytes)
     ok = ~jnp.any(L.geq_mod(FR, evals))
     mul = lambda u, v: L.mont_mul(FR, u, v)
@@ -86,9 +83,12 @@ def proof_kernel(n: int, roots_m, inv_n_m, table, inf_mask, blob_bytes, z, fold:
     y_m = L.select(in_domain, y_dom, y_bary)
 
     def q_out(_):
-        # q_i = (e_i - y) / (w_i - z)  (reference: kzg.rs:468-491)
-        dd = L.sub_mod(FR, roots_m, jnp.broadcast_to(z_m, roots_m.shape))
-        ii = L.batch_mont_inv(FR, dd, axis=0)
+        # q_i = (e_i - y) / (w_i - z)  (reference: kzg.rs:468-491).
+        # (w - z) = -(z - w) and the barycentric above already inverted
+        # (z - w) (this branch only runs out-of-domain, where d_safe == d),
+        # so ONE negation replaces a second product-tree + Fermat batched
+        # inversion — inv(-x) == -inv(x) (round-4 review finding).
+        ii = L.neg_mod(FR, inv)
         return mul(L.sub_mod(FR, e_m, jnp.broadcast_to(y_m, e_m.shape)), ii)
 
     def q_in(_):

@@ -229,11 +229,18 @@ def stage2_digits(n: int, r_powers, r_times_z) -> np.ndarray:
     (sum r^i proof_i), lanes 2-5 the RHS group."""
     k1s, k2s = glv.decompose_batch(r_powers)
     q1s, q2s = glv.decompose_batch(r_times_z)
-    # Blob-major interleave: per blob [p*k1, p*k2, c*k1, c*k2, pz*k1, pz*k2].
-    flat = []
+    # Recode only the 4n UNIQUE scalars (the proof and commitment lanes
+    # share r^i's halves), then expand to the 6-lane blob-major layout
+    # [p*k1, p*k2, c*k1, c*k2, pz*k1, pz*k2] with one np.take — a third
+    # of the host recode work on the stage-2 critical path was redundant
+    # (round-4 review finding).
+    uniq = []
     for i in range(n):
-        flat += [k1s[i], k2s[i], k1s[i], k2s[i], q1s[i], q2s[i]]
-    return glv.recode_base4_signed(flat)
+        uniq += [k1s[i], k2s[i], q1s[i], q2s[i]]
+    rec = glv.recode_base4_signed(uniq)  # [W, 4n]
+    base = 4 * np.arange(n)[:, None]
+    idx = (base + np.array([0, 1, 0, 1, 2, 3])[None, :]).reshape(-1)
+    return np.ascontiguousarray(rec[:, idx])
 
 
 # Which of each blob's six lanes multiply the phi half (X scaled by beta).
@@ -263,9 +270,14 @@ def stage2_partials(bases, bases2, digits):
     sel = _select_digit_multiple(lanes(bases), lanes(bases2), d)
     # GLV halves multiply phi(P) = (beta X, Y, Z); phi commutes with
     # doubling and negation, so twisting the selected multiple is exact.
-    x = sel[..., 0, :]
-    xb = L.mont_mul(FP, x, jnp.asarray(_BETA_MONT))
-    x = jnp.where(jnp.asarray(_PHI_LANES)[None, None, :, None], xb, x)
+    # The phi lanes are the ODD lane indices (k2 halves, _PHI_LANES), and
+    # the lane axis is static — so only those three lanes pay the beta
+    # multiply (strided slice + re-interleave), not all six with half the
+    # products discarded by a select (round-4 review finding).
+    x = sel[..., 0, :]  # [W, n, 6, l]
+    xe = x[..., 0::2, :]
+    xo = L.mont_mul(FP, x[..., 1::2, :], jnp.asarray(_BETA_MONT))
+    x = jnp.stack([xe, xo], axis=-2).reshape(x.shape)
     sel = jnp.concatenate([x[..., None, :], sel[..., 1:, :]], axis=-2)
 
     lhs_flat = sel[:, :, :2].reshape(w * n * 2, 3, FP.nlimbs)
