@@ -101,27 +101,46 @@ def _timed(fn):
 
 
 # ``auto``-placement cost model (derivation + measurements: SCALING.md
-# "Link placement").  The device pipeline pays ~2.5 link round trips plus
-# the raw input upload before its compute can win; it is chosen exactly
-# when that link cost fits inside a fraction of the measured host runtime
-# for the same batch.  BOTH sides of the inequality are measured per
-# process: the link by :func:`link_profile`, the host by
-# :func:`host_verify_profile` / :func:`host_prove_profile` (lazy per
-# preset and per component — a slower host with a PCIe-class accelerator
-# under-picked the device when these were this machine's frozen point
-# estimates, VERDICT round-3 item 4; a shared cache across presets would
-# poison placement, round-4 review).  The constants below are the
-# FALLBACK used only when the native
-# runtime is unavailable to calibrate against (this host's measured
-# figures, SCALING.md): ~160 us/blob batch verification, ~7 ms per
-# single-blob prover op.  n-dependence (VERDICT round-2 weak #6): small
-# batches are RTT-bound (n=6 -> RTT budget ~0.2 ms), the reference n=64 is
-# mixed (~2 ms RTT + >~2 GB/s), large batches are purely bandwidth-bound
-# (n=4096 -> any sub-100 ms RTT passes, H2D >~ 2 GB/s decides).
+# "Link placement").  The device path is chosen exactly when its full
+# estimated time beats the measured host runtime for the same batch:
+#
+#     link_cost(n) + device_est(n)  <  host_budget(n)
+#
+# All three terms are measured: the link by :func:`link_profile` (per
+# process), the host by :func:`host_verify_profile` /
+# :func:`host_prove_profile` (lazy per preset and per component — a slower
+# host with a PCIe-class accelerator under-picked the device when these
+# were this machine's frozen point estimates, VERDICT round-3 item 4; a
+# shared cache across presets would poison placement, round-4 review), and
+# the device by :func:`device_verify_profile` (the measured per-chip
+# kernel-sum slope of the shipped pipeline; VERDICT round-4 item 3 — a
+# link-only inequality routed n=4096 to a 3,900 blobs/s chip on hosts
+# measuring 9,600 blobs/s).  The host constants below are the FALLBACK
+# used only when the native runtime is unavailable to calibrate against
+# (this host's measured figures, SCALING.md): ~160 us/blob batch
+# verification, ~7 ms per single-blob prover op.  n-dependence (VERDICT
+# round-2 weak #6): small batches are RTT-bound (n=6 -> RTT budget
+# ~0.2 ms), the reference n=64 is mixed (~2 ms RTT + >~2 GB/s), large
+# batches are purely bandwidth-bound (n=4096 -> any sub-100 ms RTT passes,
+# H2D >~ 2 GB/s decides) — and at ANY link speed the device must also
+# out-compute the host for its batch, which the device term now prices.
 AUTO_HOST_PER_BLOB_S = 160e-6
 AUTO_HOST_PROVE_S = 7e-3
 AUTO_RTT_CROSSINGS = 2.5
-AUTO_LINK_BUDGET_FRACTION = 0.5
+
+# Device-side compute model (seconds): fixed + per-blob line through the
+# measured per-chip kernel sums of the shipped chunked pipeline on the
+# v5e — 28.1 / 149.2 / 1055 ms at n = 64 / 512 / 4096 (SCALING.md "Round
+# 4" table, tools/probe_scale.py; the end-point fit predicts 142 ms at
+# n=512 vs 149 measured).  These are measured constants for the one TPU
+# generation this build was profiled on, not guesses; a different
+# accelerator generation overrides them via the env knobs below or
+# re-measures with tools/probe_scale.py.  The single-op prover estimate is
+# the measured device MSM compute (~22 ms, SCALING.md "MSM ... closed")
+# plus the fused kernel's ingest/eval work (~33 ms measured round 2).
+AUTO_DEVICE_FIXED_S = 11.8e-3
+AUTO_DEVICE_PER_BLOB_S = 255e-6
+AUTO_DEVICE_PROVE_S = 55e-3
 
 # Blob-chunked barycentric dispatch width for large single-device batches
 # (measured: 128-blob chunks run the n=4096 barycentric 22% faster than
@@ -168,7 +187,10 @@ def host_verify_profile(verify_ctx, bytes_per_blob: int) -> float:
     passes subgroup checks; the final pairing fails, which costs the same).
     The slope is the per-blob cost; the n=1 intercept absorbs the fixed
     pairing.  Frozen fallback when the native runtime is absent (the
-    golden path never competes with a device)."""
+    golden path never competes with a device).  Calibration runs inside a
+    user's first auto-placed call, so ANY calibration failure falls back to
+    the frozen constant instead of propagating out of a legitimate request
+    (round-4 advisor finding)."""
 
     def measure():
         if verify_ctx is None:
@@ -178,19 +200,28 @@ def host_verify_profile(verify_ctx, bytes_per_blob: int) -> float:
                 AUTO_HOST_PER_BLOB_S * 1e6,
             )
             return AUTO_HOST_PER_BLOB_S
-        from .. import hostcrypto
-        from ..golden import curve as gcurve
+        try:
+            from .. import hostcrypto
+            from ..golden import curve as gcurve
 
-        blob = _calib_blob(bytes_per_blob)
-        comm = hostcrypto.g1_compress(gcurve.G1_GENERATOR)
+            blob = _calib_blob(bytes_per_blob)
+            comm = hostcrypto.g1_compress(gcurve.G1_GENERATOR)
 
-        def vb(k: int):
-            verify_ctx.verify_scatter([blob] * k, k, comm * k, comm * k)
+            def vb(k: int):
+                verify_ctx.verify_scatter([blob] * k, k, comm * k, comm * k)
 
-        vb(1)  # warm caches
-        t1 = min(_timed(lambda: vb(1)) for _ in range(2))
-        t9 = min(_timed(lambda: vb(9)) for _ in range(2))
-        per_blob = max((t9 - t1) / 8, 1e-6)
+            vb(1)  # warm caches
+            t1 = min(_timed(lambda: vb(1)) for _ in range(2))
+            t9 = min(_timed(lambda: vb(9)) for _ in range(2))
+            per_blob = max((t9 - t1) / 8, 1e-6)
+        except Exception:
+            _logger().warning(
+                "host_profile[verify]: calibration failed, frozen fallback "
+                "per_blob=%.1fus",
+                AUTO_HOST_PER_BLOB_S * 1e6,
+                exc_info=True,
+            )
+            return AUTO_HOST_PER_BLOB_S
         _logger().info(
             "host_profile[verify]: per_blob=%.1fus (measured, blob=%dB)",
             per_blob * 1e6,
@@ -203,7 +234,9 @@ def host_verify_profile(verify_ctx, bytes_per_blob: int) -> float:
 
 def host_prove_profile(prover_ctx, bytes_per_blob: int) -> float:
     """Measured single-blob-proof cost of THIS host (seconds), once per
-    (process, preset); frozen fallback when native is absent."""
+    (process, preset); frozen fallback when native is absent OR when the
+    calibration itself fails (it runs inside a user's first auto-placed
+    prover call — round-4 advisor finding)."""
 
     def measure():
         if prover_ctx is None:
@@ -213,14 +246,24 @@ def host_prove_profile(prover_ctx, bytes_per_blob: int) -> float:
                 AUTO_HOST_PROVE_S * 1e3,
             )
             return AUTO_HOST_PROVE_S
-        from .. import hostcrypto
+        try:
+            from .. import hostcrypto
 
-        blob = _calib_blob(bytes_per_blob)
-        comm = hostcrypto.g1_compress(prover_ctx.commit(blob))
-        prove_s = min(
-            _timed(lambda: prover_ctx.blob_proof(blob, comm)) for _ in range(2)
-        )
-        prove_s = max(prove_s, 1e-6)
+            blob = _calib_blob(bytes_per_blob)
+            comm = hostcrypto.g1_compress(prover_ctx.commit(blob))
+            prove_s = min(
+                _timed(lambda: prover_ctx.blob_proof(blob, comm))
+                for _ in range(2)
+            )
+            prove_s = max(prove_s, 1e-6)
+        except Exception:
+            _logger().warning(
+                "host_profile[prove]: calibration failed, frozen fallback "
+                "prove=%.1fms",
+                AUTO_HOST_PROVE_S * 1e3,
+                exc_info=True,
+            )
+            return AUTO_HOST_PROVE_S
         _logger().info(
             "host_profile[prove]: prove=%.1fms (measured, blob=%dB)",
             prove_s * 1e3,
@@ -229,6 +272,54 @@ def host_prove_profile(prover_ctx, bytes_per_blob: int) -> float:
         return prove_s
 
     return _host_profile_cached(("prove", bytes_per_blob), measure)
+
+
+def device_verify_profile() -> tuple[float, float]:
+    """Device-side batch-verification cost model ``(fixed_s, per_blob_s)``
+    — the third term of the placement inequality (VERDICT round-4 item 3).
+
+    Values are the measured per-chip kernel-sum slope of the shipped
+    pipeline (constants above; SCALING.md "Round 4", tools/probe_scale.py)
+    — measuring them per process would hide a multi-second XLA compile of
+    the full pipeline inside a user's first verify call, which the
+    calibration-failure hardening above exists to avoid, so a deployment
+    on a different accelerator generation overrides via
+    ``KZG_TPU_DEVICE_FIXED_MS`` / ``KZG_TPU_DEVICE_PER_BLOB_US`` (and can
+    re-measure with tools/probe_scale.py)."""
+
+    def measure():
+        fixed = AUTO_DEVICE_FIXED_S
+        per_blob = AUTO_DEVICE_PER_BLOB_S
+        try:
+            if "KZG_TPU_DEVICE_FIXED_MS" in os.environ:
+                fixed = float(os.environ["KZG_TPU_DEVICE_FIXED_MS"]) * 1e-3
+            if "KZG_TPU_DEVICE_PER_BLOB_US" in os.environ:
+                per_blob = float(os.environ["KZG_TPU_DEVICE_PER_BLOB_US"]) * 1e-6
+        except ValueError:
+            _logger().warning(
+                "device_profile: unparseable KZG_TPU_DEVICE_* override, "
+                "using measured v5e model",
+            )
+            fixed, per_blob = AUTO_DEVICE_FIXED_S, AUTO_DEVICE_PER_BLOB_S
+        _logger().info(
+            "device_profile[verify]: fixed=%.1fms per_blob=%.1fus%s",
+            fixed * 1e3,
+            per_blob * 1e6,
+            ""
+            if (fixed, per_blob) == (AUTO_DEVICE_FIXED_S, AUTO_DEVICE_PER_BLOB_S)
+            else " (env override)",
+        )
+        return (fixed, per_blob)
+
+    return _host_profile_cached(("device_verify",), measure)
+
+
+def device_est(n_blobs: int, op: str) -> float:
+    """Estimated device compute seconds for this op at this batch size."""
+    if op == "prover":
+        return AUTO_DEVICE_PROVE_S
+    fixed, per_blob = device_verify_profile()
+    return fixed + n_blobs * per_blob
 
 
 def _hash_pool():
@@ -597,13 +688,15 @@ class JaxBackend(GoldenBackend):
         self, settings, n_blobs: int, upload_bytes: int, op: str
     ) -> bool:
         """auto placement: device only on a real accelerator whose measured
-        link cost (round trips + input upload) fits inside
-        ``AUTO_LINK_BUDGET_FRACTION`` of the measured host runtime for this
-        batch — evaluated PER CALL so the n-dependence is honored, with both
-        sides of the inequality measured per process (link_profile /
-        host_profile above).  XLA-on-CPU 'devices' exist for tests and never
-        beat the native AVX runtime on this workload.  The decision is
-        logged (INFO) with the measured link numbers."""
+        link cost (round trips + input upload) PLUS estimated device compute
+        beats the measured host runtime for this batch —
+        ``link_cost + device_est(n) < host_budget(n)`` — evaluated PER CALL
+        so the n-dependence is honored, with all three terms measured
+        (link_profile / host_profile / device_verify_profile above; VERDICT
+        round-4 item 3: a link-only rule routed saturated batches to a chip
+        measurably slower than a capable host).  XLA-on-CPU 'devices' exist
+        for tests and never beat the native AVX runtime on this workload.
+        The decision is logged (INFO) with the measured numbers."""
         import jax
 
         if jax.default_backend() == "cpu":
@@ -618,8 +711,8 @@ class JaxBackend(GoldenBackend):
             )
         rtt, bw = link_profile()
         link_cost = AUTO_RTT_CROSSINGS * rtt + upload_bytes / bw
-        budget = AUTO_LINK_BUDGET_FRACTION * host_budget_s
-        choose_device = link_cost < budget
+        dev_s = device_est(n_blobs, op)
+        choose_device = link_cost + dev_s < host_budget_s
         # Log once per distinct (op, n, outcome) — prover loops place one
         # op per blob and must not pay a log record each (the decision is
         # deterministic per key while the process-wide link profile holds).
@@ -628,13 +721,14 @@ class JaxBackend(GoldenBackend):
             self._placement_logged.add(key)
             _logger().info(
                 "placement auto [%s]: n=%d rtt=%.3fms h2d=%.0fMB/s "
-                "link_cost=%.2fms budget=%.2fms -> %s",
+                "link_cost=%.2fms device_est=%.2fms host_budget=%.2fms -> %s",
                 op,
                 n_blobs,
                 rtt * 1e3,
                 bw / 1e6,
                 link_cost * 1e3,
-                budget * 1e3,
+                dev_s * 1e3,
+                host_budget_s * 1e3,
                 "device" if choose_device else "host",
             )
         return choose_device

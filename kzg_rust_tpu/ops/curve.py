@@ -337,7 +337,10 @@ def affine_tree_levels(points_aff, valid, k: int):
     SCALING.md ("MSM batched-affine fold", round 4)."""
     for _ in range(k):
         n = points_aff.shape[0]
-        assert n % 2 == 0, "affine tree level needs an even lane count"
+        # Explicit raise (not assert) so the invariant survives python -O —
+        # same pattern as limbs.sum_mont_redc's term-count guard.
+        if n % 2 != 0:
+            raise ValueError("affine tree level needs an even lane count")
         points_aff, valid = affine_pair_add(
             points_aff[0::2], points_aff[1::2], valid[0::2], valid[1::2]
         )

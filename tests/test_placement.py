@@ -99,3 +99,74 @@ def test_auto_budget_uses_measured_host_costs(fresh_profile, settings, monkeypat
     monkeypatch.setitem(jb._HOST_PROFILE, ("prove", bpb), 10.0)
     assert backend._auto_prefers_device(settings, 64, 64 * 131168, "verify_batch")
     assert backend._auto_prefers_device(settings, 1, 131072, "prover")
+
+
+def test_auto_prices_device_compute(fresh_profile, settings, monkeypatch):
+    """VERDICT round-4 item 3: a fast link does NOT imply device — the
+    inequality carries a measured device-compute term, so a fast link
+    attached to a chip measurably slower than the host keeps the batch on
+    the host.  Numbers below are the shipped measurements: host 9,600
+    blobs/s at n=4096 (104 us/blob) vs device ~3,900 blobs/s/chip
+    (fixed 11.8 ms + 255 us/blob) — auto must pick the HOST even at
+    zero link cost, and flip to the device when the device model says the
+    chip is faster than the host."""
+    backend = jb.JaxBackend()
+
+    class FakeJax:
+        @staticmethod
+        def default_backend():
+            return "tpu"
+
+    monkeypatch.setattr(jb, "_LINK_PROFILE", (10e-6, 100e9))  # near-free link
+    import sys
+
+    monkeypatch.setitem(sys.modules, "jax", FakeJax)
+    bpb = settings.preset.bytes_per_blob
+
+    # Host measured at the bench host's n=4096 rate: 104 us/blob.
+    monkeypatch.setitem(jb._HOST_PROFILE, ("verify", bpb), 104e-6)
+    n, upload = 4096, 4096 * 131168
+    assert not backend._auto_prefers_device(settings, n, upload, "verify_batch")
+
+    # Same fast link, host 4x slower than the measured device model: device.
+    monkeypatch.setitem(jb._HOST_PROFILE, ("verify", bpb), 1e-3)
+    assert backend._auto_prefers_device(settings, n, upload, "verify_batch")
+
+    # Env override models a faster accelerator generation: device wins
+    # against the capable host too.
+    monkeypatch.setitem(jb._HOST_PROFILE, ("verify", bpb), 104e-6)
+    monkeypatch.setenv("KZG_TPU_DEVICE_FIXED_MS", "1")
+    monkeypatch.setenv("KZG_TPU_DEVICE_PER_BLOB_US", "10")
+    jb._HOST_PROFILE.pop(("device_verify",), None)
+    assert backend._auto_prefers_device(settings, n, upload, "verify_batch")
+    jb._HOST_PROFILE.pop(("device_verify",), None)
+
+
+def test_device_profile_defaults_and_override(fresh_profile, monkeypatch):
+    assert jb.device_verify_profile() == (
+        jb.AUTO_DEVICE_FIXED_S,
+        jb.AUTO_DEVICE_PER_BLOB_S,
+    )
+    jb._HOST_PROFILE.pop(("device_verify",), None)
+    monkeypatch.setenv("KZG_TPU_DEVICE_FIXED_MS", "not-a-number")
+    assert jb.device_verify_profile() == (
+        jb.AUTO_DEVICE_FIXED_S,
+        jb.AUTO_DEVICE_PER_BLOB_S,
+    )  # unparseable override falls back to the measured model
+    assert jb.device_est(1, "prover") == jb.AUTO_DEVICE_PROVE_S
+
+
+def test_host_calibration_failure_falls_back(fresh_profile):
+    """Round-4 advisor finding: calibration runs inside a user's first
+    auto-placed call, so a calibration-only error must fall back to the
+    frozen constants, never propagate out of the legitimate request."""
+
+    class ExplodingCtx:
+        def verify_scatter(self, *a):
+            raise RuntimeError("calibration-only failure")
+
+        def commit(self, *a):
+            raise RuntimeError("calibration-only failure")
+
+    assert jb.host_verify_profile(ExplodingCtx(), 131072) == jb.AUTO_HOST_PER_BLOB_S
+    assert jb.host_prove_profile(ExplodingCtx(), 131072) == jb.AUTO_HOST_PROVE_S
