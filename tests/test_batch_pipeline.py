@@ -179,6 +179,105 @@ def test_pipeline_chunked_barycentric(settings, golden, jaxbe, monkeypatch):
         Kzg.verify_blob_kzg_proof_batch(noncanon, cs, ps, settings, jaxbe)
 
 
+@pytest.fixture(scope="module")
+def batch64(settings, golden):
+    """64 distinct triples; at-scale batches tile them (per-blob
+    validation work is identical for repeated triples, and the error
+    lanes below are injected AFTER tiling)."""
+    blobs = [make_blob(settings) for _ in range(64)]
+    cs = [Kzg.blob_to_kzg_commitment(b, settings, golden) for b in blobs]
+    ps = [Kzg.compute_blob_kzg_proof(b, c, settings, golden) for b, c in zip(blobs, cs)]
+    return blobs, cs, ps
+
+
+def _tiled(batch64, n):
+    blobs, cs, ps = batch64
+    reps = (n + 63) // 64
+    return (blobs * reps)[:n], (cs * reps)[:n], (ps * reps)[:n]
+
+
+@pytest.mark.slow_compile
+class TestAtScaleErrorLanes:
+    """VERDICT round-4 item 5: a single corrupted element inside a LARGE
+    (>=512) forced-device batch must surface through the chunked dispatches
+    and the packed-flag min/all combines (jax_backend packed fetch + chunk
+    AND-combines) with the right error — small-batch coverage does not
+    prove the at-scale combine logic.  n=512 engages the production
+    128-blob barycentric chunking (4 chunks); the stage-1 chunk test below
+    uses n=2048 (2*STAGE1_CHUNK_BLOBS).  The bad lane sits near the END of
+    the batch so a chunk-combine bug that only honors chunk 0 would pass a
+    corrupted batch.
+
+    slow_compile: the 512/2048-wide stage kernels take tens of minutes of
+    first-run XLA-CPU compile (cached afterwards); on real hardware
+    (KZG_TPU_TEST_REAL_DEVICE=1) they compile in seconds — the recorded
+    at-scale run is in SCALING.md, and the MAINNET-width equivalent is
+    tools/probe_error_lanes.py."""
+
+    N = 512
+    BAD = 509  # inside the LAST barycentric chunk
+
+    def test_malformed_compressed_point_at_scale(self, settings, jaxbe, batch64):
+        blobs, cs, ps = _tiled(batch64, self.N)
+        from kzg_rust_tpu.types import Bytes48
+
+        cs = list(cs)
+        # Compression flag clear with nonzero payload: invalid encoding.
+        cs[self.BAD] = Bytes48(b"\x11" * 48)
+        with pytest.raises(BadArgs, match="invalid compressed G1"):
+            Kzg.verify_blob_kzg_proof_batch(blobs, cs, ps, settings, jaxbe)
+
+    def test_noncanonical_blob_at_scale(self, settings, jaxbe, batch64):
+        blobs, cs, ps = _tiled(batch64, self.N)
+        blobs = list(blobs)
+        bad = Blob(
+            b"\xff" * 32 + bytes(blobs[self.BAD])[32:],
+            bytes_per_blob=settings.preset.bytes_per_blob,
+        )
+        blobs[self.BAD] = bad
+        with pytest.raises(BadArgs):
+            Kzg.verify_blob_kzg_proof_batch(blobs, cs, ps, settings, jaxbe)
+
+    def test_non_subgroup_point_at_scale(self, settings, jaxbe, batch64):
+        blobs, cs, ps = _tiled(batch64, self.N)
+        from kzg_rust_tpu.types import Bytes48
+
+        cs = list(cs)
+        cs[self.BAD] = Bytes48(_out_of_subgroup_compressed())
+        with pytest.raises(BadArgs, match="subgroup"):
+            Kzg.verify_blob_kzg_proof_batch(blobs, cs, ps, settings, jaxbe)
+
+    def test_wrong_valid_proof_at_scale(self, settings, golden, jaxbe, batch64):
+        """A VALID-encoding but wrong proof in one lane -> False, not
+        raise, matching the golden oracle (reference kzg.rs:671-683
+        semantics at batch scale)."""
+        blobs, cs, ps = _tiled(batch64, self.N)
+        ps = list(ps)
+        ps[self.BAD] = ps[self.BAD - 1]  # valid point, wrong lane
+        got = Kzg.verify_blob_kzg_proof_batch(blobs, cs, ps, settings, jaxbe)
+        assert got is False
+
+    def test_valid_batch_at_scale_accepts(self, settings, jaxbe, batch64):
+        """Control: the same tiled 512-wide batch with no corruption is
+        accepted (the rejections above are the bad lane, not the width)."""
+        blobs, cs, ps = _tiled(batch64, self.N)
+        assert Kzg.verify_blob_kzg_proof_batch(blobs, cs, ps, settings, jaxbe) is True
+
+    def test_stage1_chunked_flag_combine_at_scale(self, settings, jaxbe, batch64):
+        """n = 2*STAGE1_CHUNK_BLOBS engages the chunked stage-1 dispatch
+        with production constants; a malformed point in the SECOND chunk
+        must fail the min-combined flag."""
+        from kzg_rust_tpu.backends.jax_backend import STAGE1_CHUNK_BLOBS
+        from kzg_rust_tpu.types import Bytes48
+
+        n = 2 * STAGE1_CHUNK_BLOBS
+        blobs, cs, ps = _tiled(batch64, n)
+        cs = list(cs)
+        cs[n - 3] = Bytes48(b"\x11" * 48)
+        with pytest.raises(BadArgs):
+            Kzg.verify_blob_kzg_proof_batch(blobs, cs, ps, settings, jaxbe)
+
+
 def test_pipeline_host_piecewise_mode(monkeypatch):
     """KZG_TPU_EVAL=host-piecewise (native barycentric + host RLC, no
     device) is a user-reachable placement mode; pin its accept/reject
