@@ -566,11 +566,23 @@ class JaxBackend(GoldenBackend):
         else:
             bases, bases2, pflags = V.batch_points_kernel(jnp.asarray(comp))
 
-        # Blob upload (async) + device barycentric inputs.
-        blob_dev = self._blob_bytes_dev(settings, blobs)
-        if npad != n:
-            zpad = jnp.zeros((pad,) + blob_dev.shape[1:], jnp.uint8)
-            blob_dev = jnp.concatenate([blob_dev, zpad])
+        # Blob bytes -> host array; upload schedule depends on the branch.
+        # The chunked-barycentric branch uploads PER CHUNK, interleaved
+        # with the chunk dispatches: the runtime then overlaps the
+        # host->device transfer of chunk k+1 with compute on chunk k,
+        # measured 40% faster e2e at n=4096 on the tunneled link (median
+        # 20.8 s -> 12.9 s, tools/probe_upload_overlap.py, round 5) — the
+        # 537 MB monolithic upload serialized ahead of the first dispatch.
+        # The other branches keep the single async upload (mesh sharding
+        # needs the whole tensor; small batches are latency- not
+        # bandwidth-bound).
+        chunked_bary = mesh is None and npad >= 2 * BARY_CHUNK_BLOBS
+        blob_np = self._blob_bytes_np(settings, blobs)
+        if not chunked_bary:
+            blob_dev = jnp.asarray(blob_np)
+            if npad != n:
+                zpad = jnp.zeros((pad,) + blob_dev.shape[1:], jnp.uint8)
+                blob_dev = jnp.concatenate([blob_dev, zpad])
 
         # Fiat-Shamir challenges on host (overlapped with the device chain).
         preimages = [
@@ -597,26 +609,42 @@ class JaxBackend(GoldenBackend):
                 jnp.asarray(xs_arr),
                 mesh,
             )
-        elif npad >= 2 * BARY_CHUNK_BLOBS:
+        elif chunked_bary:
             # Large batches dispatch the barycentric in fixed blob chunks:
             # the [4096 x 4096] working set is deep in the memory-bound
             # regime and chunked dispatches run ~22% faster (measured
             # 807 -> 627 ms at n=4096, tools/probe_bary_chunks.py) while
             # compiling ONE chunk shape instead of one per batch size.
-            # Dispatches are async (one stream, in-order); nothing is
-            # fetched until the flags below.
+            # Each chunk's blob rows upload immediately before its
+            # dispatch (the measured interleaved schedule above); pad
+            # rows materialize as device-side zeros so padding costs no
+            # upload bytes.  Dispatches are async (one stream, in-order);
+            # nothing is fetched until the flags below.
             xs_dev = jnp.asarray(xs_arr)
-            parts = [
-                V.bary_batch_from_bytes_kernel(
-                    ctx.n,
-                    ctx.roots_m,
-                    ctx.roots_m2,
-                    ctx.inv_n_m,
-                    blob_dev[s : s + BARY_CHUNK_BLOBS],
-                    xs_dev[s : s + BARY_CHUNK_BLOBS],
+            parts = []
+            for s in range(0, npad, BARY_CHUNK_BLOBS):
+                rows = blob_np[s : min(s + BARY_CHUNK_BLOBS, n)]
+                short = BARY_CHUNK_BLOBS - rows.shape[0]
+                chunk_dev = jnp.asarray(rows) if rows.shape[0] else None
+                if short:
+                    zpadc = jnp.zeros(
+                        (short,) + blob_np.shape[1:], jnp.uint8
+                    )
+                    chunk_dev = (
+                        zpadc
+                        if chunk_dev is None
+                        else jnp.concatenate([chunk_dev, zpadc])
+                    )
+                parts.append(
+                    V.bary_batch_from_bytes_kernel(
+                        ctx.n,
+                        ctx.roots_m,
+                        ctx.roots_m2,
+                        ctx.inv_n_m,
+                        chunk_dev,
+                        xs_dev[s : s + BARY_CHUNK_BLOBS],
+                    )
                 )
-                for s in range(0, npad, BARY_CHUNK_BLOBS)
-            ]
             ys_dev = jnp.concatenate([p[0] for p in parts])
             blob_ok = jnp.all(jnp.stack([p[1] for p in parts]))
         else:
@@ -766,20 +794,23 @@ class JaxBackend(GoldenBackend):
     def _batch_mesh(self, npad: int):
         return self._auto_mesh(npad, "blobs")
 
-    def _blob_bytes_dev(self, settings, blobs):
-        """Blob bytes -> device uint8 [n_blobs, fe, 32] (BE field elements).
+    def _blob_bytes_np(self, settings, blobs):
+        """Blob bytes -> HOST uint8 [n_blobs, fe, 32] (BE field elements).
         Length-validates on host; canonicality is checked on device inside
         the consuming kernel."""
-        import jax.numpy as jnp
-
         fe = settings.preset.field_elements_per_blob
         nb = len(blobs)
         for b in blobs:
             if len(b) != settings.preset.bytes_per_blob:
                 raise BadArgs(MSG_BLOB_LENGTH)
         buf = b"".join(bytes(b) for b in blobs)
-        a = np.frombuffer(buf, dtype=np.uint8).reshape(nb, fe, 32)
-        return jnp.asarray(a)
+        return np.frombuffer(buf, dtype=np.uint8).reshape(nb, fe, 32)
+
+    def _blob_bytes_dev(self, settings, blobs):
+        """:meth:`_blob_bytes_np` uploaded in one async transfer."""
+        import jax.numpy as jnp
+
+        return jnp.asarray(self._blob_bytes_np(settings, blobs))
 
     # -- fused single verification (native host path) --------------------------
 
