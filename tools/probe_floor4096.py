@@ -108,7 +108,13 @@ def main():
         ("fp_mul_131072", fp_wide, FP),
     ):
         body = lambda x, f=field: L.mont_mul(f, x, x)
-        per = slope(lambda k: chained_arr(body, k), (arr,), 8, 48)
+        # Small shapes need a much wider k span: a [2048]-row mul is
+        # ~30 us, so a 40-iteration span (~1 ms) drowns in the tunnel's
+        # +-10-30 ms fetch jitter and the slope can come out negative
+        # (observed round 5).  Scale the span so the timed difference is
+        # >= ~50 ms.
+        kk = (64, 2048) if arr.shape[0] <= 4096 else (8, 48)
+        per = slope(lambda k: chained_arr(body, k), (arr,), *kk)
         results[name + "_us"] = round(per * 1e6, 2)
         print(f"calib {name}: {per*1e6:9.2f} us", flush=True)
 
