@@ -23,11 +23,12 @@ criterion batch size (n=64) — TWICE (VERDICT round-2 item 1):
    in the driver artifact even when the tunnel degrades; VERDICT round-4
    item 2) with per-size rep counts scaled to the remaining deadline.
    ``device*_compute_ms`` is end-to-end minus the MODELED link cost (RTT
-   crossings + upload at the small-probe bandwidth); on a degraded HTTP
-   tunnel the un-modeled transfer-stack overhead lands in this field, so
-   it is an UPPER bound on device compute — the slope-measured per-stage
-   kernel times (SCALING.md "round 4": 149 ms at n=512, 3,883 blobs/s/chip
-   at n=4096) are the true per-chip compute numbers.
+   crossings + upload at the small-probe bandwidth), with the modeled
+   term emitted beside it as ``device*_link_model_ms``.  Since round 5's
+   interleaved upload schedule, transfer overlaps chunk compute, so the
+   subtraction can floor at 0 (meaning only "transfer-dominated e2e");
+   the slope-measured per-stage kernel times (SCALING.md "round 5":
+   4,257 blobs/s/chip at n=4096) are the true per-chip compute numbers.
 
 The parent additionally measures the HOST engine at n=512 and n=4096
 (``host_n{512,4096}_*``, tiled batches, spacing policy as above) so the
@@ -246,6 +247,15 @@ def device_probe() -> None:
         out[f"{pre}_median_ms"] = round(med * 1e3, 2)
         out[f"{pre}_p90_ms"] = round(p90 * 1e3, 2)
         out[f"{pre}_reps"] = len(samples)
+        # Since the round-5 interleaved upload schedule, transfer OVERLAPS
+        # chunk compute, so "e2e minus modeled link" is no longer an upper
+        # bound on device compute — when the modeled link cost alone
+        # exceeds the measured e2e the subtraction floors at 0 and means
+        # only "e2e is transfer-dominated".  The modeled link term is
+        # emitted beside it so the field stays interpretable; the per-chip
+        # compute anchor is the slope-measured kernel-sum table
+        # (SCALING.md round 5, tools/probe_scale.py).
+        out[f"{pre}_link_model_ms"] = round(link_cost * 1e3, 2)
         out[f"{pre}_compute_ms"] = round(max(best - link_cost, 0.0) * 1e3, 2)
         # Emit the accumulated fields after EVERY size: if a later size
         # stalls past the parent deadline on a degraded tunnel, the parent

@@ -138,8 +138,11 @@ AUTO_RTT_CROSSINGS = 2.5
 # re-measures with tools/probe_scale.py.  The single-op prover estimate is
 # the measured device MSM compute (~22 ms, SCALING.md "MSM ... closed")
 # plus the fused kernel's ingest/eval work (~33 ms measured round 2).
-AUTO_DEVICE_FIXED_S = 11.8e-3
-AUTO_DEVICE_PER_BLOB_S = 255e-6
+# Round-5 fit (tools/probe_scale.py after the subgroup-check rework and
+# review-wave reductions landed): kernel sums 21.5 ms at n=64 and 962 ms
+# at n=4096 -> 6.6 ms fixed + 233 us/blob.
+AUTO_DEVICE_FIXED_S = 6.6e-3
+AUTO_DEVICE_PER_BLOB_S = 233e-6
 AUTO_DEVICE_PROVE_S = 55e-3
 
 # Blob-chunked barycentric dispatch width for large single-device batches
