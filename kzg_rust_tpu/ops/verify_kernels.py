@@ -182,10 +182,7 @@ def subgroup_check_from_bases(points, bases, bases2):
             continue
         p = (bases2 if abs(d) == 2 else bases)[j]
         if d < 0:
-            p = jnp.concatenate(
-                [p[..., :1, :], L.neg_mod(FP, p[..., 1:2, :]), p[..., 2:, :]],
-                axis=-2,
-            )
+            p = C.point_neg(p)
         parts.append(p)
     z2p = _reduce_axis0(jnp.stack(parts))  # [N, 3, l] = [z^2] P
     phix = L.mont_mul(FP, points[..., 0, :], jnp.asarray(_BETA_MONT))

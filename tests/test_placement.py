@@ -170,3 +170,42 @@ def test_host_calibration_failure_falls_back(fresh_profile):
 
     assert jb.host_verify_profile(ExplodingCtx(), 131072) == jb.AUTO_HOST_PER_BLOB_S
     assert jb.host_prove_profile(ExplodingCtx(), 131072) == jb.AUTO_HOST_PROVE_S
+
+
+def test_chunked_regime_overlap_model(fresh_profile, settings, monkeypatch):
+    """Round-5 review finding: the chunked-barycentric pipeline interleaves
+    the blob upload with chunk compute, so for n >= 2*BARY_CHUNK_BLOBS the
+    placement combines link and device terms as max(), not a sum — an
+    additive model would double-count the transfer and reject the device
+    on exactly the fast-link saturated batches the interleave speeds up.
+    Small batches keep the additive model (one upload, fully serialized)."""
+    backend = jb.JaxBackend()
+
+    class FakeJax:
+        @staticmethod
+        def default_backend():
+            return "tpu"
+
+    import sys
+
+    monkeypatch.setitem(sys.modules, "jax", FakeJax)
+    monkeypatch.setattr(jb, "_LINK_PROFILE", (10e-6, 500e6))  # 500 MB/s
+    monkeypatch.setenv("KZG_TPU_DEVICE_FIXED_MS", "10")
+    monkeypatch.setenv("KZG_TPU_DEVICE_PER_BLOB_US", "233")
+    jb._HOST_PROFILE.pop(("device_verify",), None)
+    bpb = settings.preset.bytes_per_blob
+
+    # n=4096 (chunked regime): upload ~1.07 s, device ~0.96 s.  Host at
+    # 366 us/blob -> 1.50 s budget sits BETWEEN max(1.07) and sum(2.04):
+    # the overlap model must pick the device.
+    monkeypatch.setitem(jb._HOST_PROFILE, ("verify", bpb), 366e-6)
+    n, upload = 4096, 4096 * (bpb + 96)
+    assert backend._auto_prefers_device(settings, n, upload, "verify_batch")
+
+    # n=64 (below the chunked regime): upload ~16.8 ms + device ~24.9 ms
+    # sum to ~42 ms.  Host at 500 us/blob -> 32 ms budget sits between
+    # max(24.9) and the sum: the additive model must keep the host.
+    monkeypatch.setitem(jb._HOST_PROFILE, ("verify", bpb), 500e-6)
+    n, upload = 64, 64 * (bpb + 96)
+    assert not backend._auto_prefers_device(settings, n, upload, "verify_batch")
+    jb._HOST_PROFILE.pop(("device_verify",), None)

@@ -113,7 +113,7 @@ def main():
         # +-10-30 ms fetch jitter and the slope can come out negative
         # (observed round 5).  Scale the span so the timed difference is
         # >= ~50 ms.
-        kk = (64, 2048) if arr.shape[0] <= 4096 else (8, 48)
+        kk = (64, 2048) if arr.shape[0] <= 4096 and not TINY else (8, 48)
         per = slope(lambda k: chained_arr(body, k), (arr,), *kk)
         results[name + "_us"] = round(per * 1e6, 2)
         print(f"calib {name}: {per*1e6:9.2f} us", flush=True)
@@ -159,8 +159,9 @@ def main():
 
     # Floors: sqrt = ~475 sequential [2048]-row Fp muls (windowed (p+1)/4
     # pow); chain = 132 steps x 16 muls-equivalent (2 proj_double = 2x ~8M)
-    # at [2048] rows; subgroup = select + 7-level tree (~127 row-adds
-    # amortized wide) + 6 muls.
+    # at [2048] rows; subgroup (round-5 rework) = 17 static window slices
+    # + 16 tree adds/point + 6 muls — small beside the chain, so no
+    # separate floor row.
     sqrt_floor = 475 * PTS / fp_rate_2048
     chain_floor = 132 * 16 * PTS / fp_rate_2048
     results["s1_sqrt_floor_ms"] = round(sqrt_floor * 1e3, 2)
